@@ -1,0 +1,105 @@
+"""Unit tests: mesh container, OBJ I/O, bounding box, packed voxel grid."""
+
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec, VoxelGrid, pack_bits, unpack_bits
+from voxtpu.mesh.bounding_box import calculate_bounding_box
+from voxtpu.mesh.mesh import Mesh
+from voxtpu.mesh.obj_io import export_mesh, import_mesh
+
+
+def test_import_bunny_counts(bunny_mesh):
+    # Counts from the asset header (# Vertices: 28088, # Faces: 56172).
+    assert bunny_mesh.num_vertices == 28088
+    assert bunny_mesh.num_faces == 56172
+    assert bunny_mesh.normals.shape[0] == 28088
+    bunny_mesh.validate()
+
+
+def test_import_all_assets(sphere_mesh, torus_mesh, d20_mesh):
+    assert sphere_mesh.num_faces == 1280
+    assert torus_mesh.num_faces == 576
+    assert d20_mesh.num_faces == 20
+
+
+def test_obj_roundtrip(tmp_path):
+    coords = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0.25, 0.25, 1.5]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3], [0, 2, 3]], np.int32)
+    colors = np.array(
+        [[255, 0, 0, 255], [0, 255, 0, 255], [0, 0, 255, 255], [10, 20, 30, 255]],
+        np.uint8,
+    )
+    normals = np.array([[0, 0, 1]] * 4, np.float32)
+    mesh = Mesh(
+        name="tet", coords=coords, faces=faces, faces_normals=faces,
+        colors=colors, normals=normals,
+    )
+    path = tmp_path / "tet.obj"
+    export_mesh(path, mesh, use_native=False)
+    back = import_mesh(path, use_native=False)
+    np.testing.assert_allclose(back.coords, coords, atol=1e-6)
+    np.testing.assert_array_equal(back.faces, faces)
+    np.testing.assert_array_equal(back.colors[:, :3], colors[:, :3])
+
+
+def test_obj_face_formats(tmp_path):
+    path = tmp_path / "f.obj"
+    path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n" "f 1 2 3\n"
+    )
+    m = import_mesh(path, use_native=False)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+    path.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 1//1 2//1 3//1\n")
+    m = import_mesh(path, use_native=False)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+    np.testing.assert_array_equal(m.faces_normals, [[0, 0, 0]])
+
+
+def test_bounding_box():
+    pts = np.array([[0, 1, 2], [3, -1, 2], [1, 0, 7]], np.float32)
+    side, (mins, maxs) = calculate_bounding_box(pts)
+    np.testing.assert_allclose(mins, [0, -1, 2])
+    np.testing.assert_allclose(maxs, [3, 1, 7])
+    assert side == 5.0
+
+
+def test_grid_spec_fit(bunny_mesh):
+    spec = GridSpec.fit(bunny_mesh.coords, 64)
+    assert spec.n == 64
+    side, (mins, _) = calculate_bounding_box(bunny_mesh.coords)
+    assert spec.voxel_size == pytest.approx(side / 64)
+    assert spec.origin == pytest.approx(tuple(mins))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    occ = rng.random((32, 32, 64)) < 0.3
+    words = pack_bits(occ)
+    assert words.shape == (32, 32, 2)
+    assert words.dtype == np.uint32
+    back = np.asarray(unpack_bits(words))
+    np.testing.assert_array_equal(back, occ)
+
+
+def test_voxel_grid_pytree_and_count():
+    import jax
+
+    spec = GridSpec(n=32, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 32)
+    rng = np.random.default_rng(1)
+    occ = rng.random((32, 32, 32)) < 0.5
+    grid = VoxelGrid.from_dense(occ, spec)
+    assert int(grid.count()) == int(occ.sum())
+    leaves = jax.tree_util.tree_leaves(grid)
+    assert len(leaves) == 3
+    grid2 = jax.jit(lambda g: g)(grid)
+    np.testing.assert_array_equal(np.asarray(grid2.words), np.asarray(grid.words))
+
+
+def test_grid_requires_multiple_of_32():
+    spec = GridSpec(n=33, origin=(0, 0, 0), voxel_size=1.0)
+    with pytest.raises(ValueError):
+        spec.num_words

@@ -1,0 +1,101 @@
+"""JFA SDF: XLA backend vs NumPy oracle vs brute force."""
+
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.jfa import jfa
+from voxtpu.ops.reference import jfa_ref
+
+
+def _brute_force_sdf(occ, spec):
+    """Exact signed squared distance to the nearest *seed* voxel corner,
+    with the reference's seed/sign conventions."""
+    n = spec.n
+    ox, oy, oz = spec.origin
+    vs = spec.voxel_size
+    padded = np.zeros((n + 2,) * 3, bool)
+    padded[1:-1, 1:-1, 1:-1] = occ
+    all_n = np.ones_like(occ)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == dy == dx == 0:
+                    continue
+                all_n &= padded[1 + dz:n + 1 + dz, 1 + dy:n + 1 + dy, 1 + dx:n + 1 + dx]
+    boundary = occ & ~all_n
+    seeds = np.argwhere(boundary)  # (S, 3) in (z, y, x)
+    if seeds.size == 0:
+        return np.where(occ, np.inf, -np.inf).astype(np.float32)
+    seed_pos = seeds[:, ::-1] * vs + np.array([ox, oy, oz])  # (S, 3) xyz
+    idx = np.moveaxis(np.indices((n, n, n)), 0, -1)[..., ::-1]  # xyz
+    pos = idx * vs + np.array([ox, oy, oz])
+    d2 = np.empty((n, n, n))
+    for z in range(n):  # chunk over z to bound memory
+        d2[z] = ((pos[z][:, :, None, :] - seed_pos[None, None]) ** 2).sum(-1).min(-1)
+    sign = np.where(occ, 1.0, -1.0)
+    out = (sign * d2).astype(np.float32)
+    out[boundary] = 0.0
+    return out
+
+
+def _ball_occ(n, r_frac=0.35):
+    zz, yy, xx = np.indices((n, n, n))
+    c = (n - 1) / 2
+    return (zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 <= (n * r_frac) ** 2
+
+
+@pytest.mark.parametrize("n", [16, 32])
+def test_xla_matches_oracle_ball(n):
+    occ = _ball_occ(n)
+    spec = GridSpec(n=n, origin=(0.125, -0.5, 2.0), voxel_size=1.0 / n)
+    ref = jfa_ref(occ, spec)
+    got = np.asarray(jfa(occ, spec, backend="xla"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
+def test_xla_matches_oracle_random():
+    rng = np.random.default_rng(0)
+    n = 16
+    occ = rng.random((n, n, n)) < 0.2
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / n)
+    ref = jfa_ref(occ, spec)
+    got = np.asarray(jfa(occ, spec, backend="xla"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
+def test_single_voxel_exact():
+    """One seed: JFA must equal the exact distance field."""
+    n = 16
+    occ = np.zeros((n, n, n), bool)
+    occ[5, 7, 9] = True
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=0.25)
+    got = np.asarray(jfa(occ, spec, backend="xla"))
+    exact = _brute_force_sdf(occ, spec)
+    np.testing.assert_allclose(got, exact, rtol=1e-6)
+
+
+def test_sign_conventions():
+    n = 16
+    occ = _ball_occ(n, 0.3)
+    spec = GridSpec(n=n, origin=(0, 0, 0), voxel_size=1.0 / n)
+    sdf = np.asarray(jfa(occ, spec, backend="xla"))
+    # seeds on the surface are exactly 0
+    assert (sdf == 0).any()
+    # interior (occupied, non-seed) strictly positive; exterior negative
+    inside = occ & (sdf != 0)
+    assert (sdf[inside] > 0).all()
+    assert (sdf[~occ] < 0).all()
+    # finite everywhere reachable (ball + exterior are all reachable)
+    assert np.isfinite(sdf).all()
+
+
+def test_jfa_accuracy_vs_bruteforce():
+    """JFA is approximate, but on a convex ball it should be near-exact."""
+    n = 32
+    occ = _ball_occ(n)
+    spec = GridSpec(n=n, origin=(0, 0, 0), voxel_size=1.0 / n)
+    got = np.asarray(jfa(occ, spec, backend="xla"))
+    exact = _brute_force_sdf(occ, spec)
+    mismatch = np.abs(got - exact) > 1e-5
+    assert mismatch.mean() < 0.01

@@ -1,0 +1,86 @@
+"""Soft differentiable voxelization: hard-limit consistency + gradcheck."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+from voxtpu.ops.vox import voxelize
+
+
+def test_soft_converges_to_hard(sphere_mesh):
+    """With tiny temperatures the soft grid matches the hard parity grid
+    away from surface ties."""
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    hard = np.asarray(voxelize(sphere_mesh, spec, backend="xla").to_dense())
+    plan = make_soft_plan(sphere_mesh, spec)
+    soft = np.asarray(
+        soft_voxelize(
+            jnp.asarray(sphere_mesh.coords), plan,
+            tau_edge_frac=0.01, tau_x_frac=0.01,
+        )
+    )
+    mismatch = (soft > 0.5) != hard
+    assert mismatch.mean() < 0.02, f"mismatch {mismatch.mean():.4f}"
+
+
+def test_soft_values_in_range(torus_mesh):
+    spec = GridSpec.fit(torus_mesh.coords, 32)
+    plan = make_soft_plan(torus_mesh, spec)
+    soft = np.asarray(soft_voxelize(jnp.asarray(torus_mesh.coords), plan))
+    assert soft.min() >= 0.0 and soft.max() <= 1.0
+    assert soft.sum() > 0
+
+
+def _tet_mesh():
+    from voxtpu.mesh.mesh import Mesh
+
+    coords = np.array(
+        [[0.1, 0.1, 0.1], [0.9, 0.15, 0.2], [0.2, 0.85, 0.15], [0.3, 0.3, 0.9]],
+        np.float32,
+    )
+    faces = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [0, 3, 2]], np.int32)
+    return Mesh(name="tet", coords=coords, faces=faces, faces_normals=faces)
+
+
+def test_gradcheck_vs_finite_differences():
+    """jax.grad of a scalar functional of the soft grid must match central
+    finite differences in a handful of random vertex coordinates."""
+    mesh = _tet_mesh()
+    spec = GridSpec(n=16, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 16)
+    plan = make_soft_plan(mesh, spec, pad_window=4)
+    rng = np.random.default_rng(0)
+    probe = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+
+    def loss(coords):
+        occ = soft_voxelize(coords, plan, tau_edge_frac=1.0, tau_x_frac=1.0,
+                            clip=False)
+        return jnp.sum(occ * probe)
+
+    coords0 = jnp.asarray(mesh.coords)
+    g = np.asarray(jax.grad(loss)(coords0))
+    assert np.isfinite(g).all()
+
+    eps = 1e-3
+    for v, a in [(0, 0), (1, 1), (2, 2), (3, 0), (2, 1)]:
+        e = np.zeros_like(mesh.coords)
+        e[v, a] = eps
+        lp = float(loss(jnp.asarray(mesh.coords + e)))
+        lm = float(loss(jnp.asarray(mesh.coords - e)))
+        fd = (lp - lm) / (2 * eps)
+        assert abs(fd - g[v, a]) <= 2e-2 * max(1.0, abs(fd)), (
+            f"vertex {v} axis {a}: fd={fd:.6f} grad={g[v, a]:.6f}"
+        )
+
+
+def test_gradients_nonzero_and_finite(sphere_mesh):
+    spec = GridSpec.fit(sphere_mesh.coords, 16)
+    plan = make_soft_plan(sphere_mesh, spec)
+
+    def loss(coords):
+        return jnp.sum(soft_voxelize(coords, plan) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(sphere_mesh.coords)))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0

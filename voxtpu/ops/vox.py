@@ -1,0 +1,275 @@
+"""Solid voxelization — XLA backend (pure jax.numpy, runs on any device).
+
+TPU-first reformulation of the reference's parity voxelizers
+(`vox/sequential.cpp:18-61` semantics; `vox/naive.cu`, `vox/tiled.cu`
+performance paths). There are no atomics on TPU and none are needed:
+
+    XOR-toggling the X column from the entry voxel to the grid edge
+    (`vox/sequential.cpp:56-57`, word-wise `atomicXor` at
+    `vox/naive.cu:72-80` / `vox/tiled.cu:472-481`) is equivalent to
+    XOR-ing, per (y, z) column, the *suffix fill masks*
+    ``0xFFFFFFFF << (x_entry - 32*w)`` of every covering triangle.
+
+Pipeline (all static shapes, jit-friendly):
+
+1. **Bucketed fragment generation** (`emit_fragments`): triangles are
+   grouped host-side by YZ-bbox raster window size W (powers of two);
+   for each bucket a vmapped kernel tests all W*W candidate (y, z) cells
+   with the reference's three inclusive edge functions and computes the
+   column entry index ``x_entry``. Each covered cell yields a fragment
+   ``(cell_key = z*N + y, x_entry)``. This replaces the reference's
+   work-queue overlap/scan/population stages (`vox/tiled.cu:15-370`).
+2. **Sort by cell** (`jax.lax.sort`) — replaces CUB radix sort
+   (`vox/tiled.cu:121-163`).
+3. **Segmented XOR via associative scan + searchsorted boundary gather**
+   — replaces run-length-encode + the atomicXor kernel
+   (`vox/tiled.cu:165-248,372-486`). For each packed output word we scan
+   the per-fragment fill masks with `bitwise_xor` and take per-cell
+   range XORs at segment boundaries found by binary search. No scatter.
+
+Gradients: this hard parity path is forward-only by construction (bits
+don't differentiate); the differentiable path is `voxtpu.ops.soft_vox`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtpu.grids.voxel_grid import WORD_BITS, GridSpec, VoxelGrid
+from voxtpu.mesh.mesh import Mesh
+
+# ---------------------------------------------------------------------------
+# Host-side bucketing (data layout, not compute — NumPy, one-time per mesh)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_windows(mesh: Mesh, spec: GridSpec):
+    """Per-triangle raster window (start_y, start_z, w) in voxel units."""
+    v0, v1, v2 = mesh.triangle_vertices()
+    oy, oz = np.float32(spec.origin[1]), np.float32(spec.origin[2])
+    vs = np.float32(spec.voxel_size)
+    min_y = np.minimum(np.minimum(v0[:, 1], v1[:, 1]), v2[:, 1])
+    max_y = np.maximum(np.maximum(v0[:, 1], v1[:, 1]), v2[:, 1])
+    min_z = np.minimum(np.minimum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    max_z = np.maximum(np.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    start_y = np.floor((min_y - oy) / vs).astype(np.int32)
+    end_y = np.ceil((max_y - oy) / vs).astype(np.int32)
+    start_z = np.floor((min_z - oz) / vs).astype(np.int32)
+    end_z = np.ceil((max_z - oz) / vs).astype(np.int32)
+    start_y = np.clip(start_y, 0, spec.n)
+    end_y = np.clip(end_y, 0, spec.n)
+    start_z = np.clip(start_z, 0, spec.n)
+    end_z = np.clip(end_z, 0, spec.n)
+    w = np.maximum(end_y - start_y, end_z - start_z)
+    return v0, v1, v2, start_y, start_z, w
+
+
+class FragmentPlan:
+    """Static, device-resident triangle buckets for one (mesh, grid) pair.
+
+    The reference rebuilds its tile work queue on every call inside the
+    profiled region (`vox/tiled.cu:504-547`); here layout prep is a
+    host-side one-time step and the jitted compute is replayed across
+    iterations (the idiomatic JAX split).
+    """
+
+    def __init__(self, mesh: Mesh, spec: GridSpec, max_window: int = 128):
+        v0, v1, v2, start_y, start_z, w = _triangle_windows(mesh, spec)
+        self.spec = spec
+        self.buckets = []  # list of (W, v0, v1, v2, start_y, start_z)
+        sizes = []
+        wmax = 1
+        while wmax < max(int(w.max(initial=1)), 1):
+            wmax *= 2
+        wclass = 1
+        lo = 0
+        while wclass <= wmax:
+            sel = (w > lo) & (w <= wclass) if wclass > 1 else (w <= 1)
+            sel &= w > 0
+            idx = np.nonzero(sel)[0]
+            if idx.size:
+                pad = _next_pow2(idx.size)
+                take = lambda a: _pad_rows(a[idx], pad)
+                self.buckets.append(
+                    (
+                        int(min(wclass, spec.n)),
+                        jnp.asarray(take(v0)),
+                        jnp.asarray(take(v1)),
+                        jnp.asarray(take(v2)),
+                        jnp.asarray(_pad_rows(start_y[idx], pad, fill=spec.n)),
+                        jnp.asarray(_pad_rows(start_z[idx], pad, fill=spec.n)),
+                    )
+                )
+                sizes.append(idx.size)
+            lo = wclass
+            wclass *= 2
+        self.num_fragments = sum(
+            b[1].shape[0] * min(b[0], spec.n) ** 2 for b in self.buckets
+        )
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _pad_rows(a: np.ndarray, rows: int, fill=0):
+    if a.shape[0] == rows:
+        return a
+    pad = np.full((rows - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Fragment emission (jit, per bucket, static window W)
+# ---------------------------------------------------------------------------
+
+
+def _edge_zy(v0, v1, y, z):
+    """Reference edge function `vplib/src/vox/vox.h:22-24` (float32)."""
+    return (z - v0[2]) * (v1[1] - v0[1]) - (y - v0[1]) * (v1[2] - v0[2])
+
+
+@functools.partial(jax.jit, static_argnames=("window", "n"))
+def emit_fragments(v0, v1, v2, start_y, start_z, *, window: int, n: int,
+                   origin=None, voxel_size=None):
+    """Rasterize one bucket: returns (cell_key, x_entry) int32 arrays of
+    length T * window**2. Invalid candidates get cell_key == n*n (sentinel
+    that sorts last)."""
+    origin = jnp.asarray(origin, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+
+    def per_triangle(a, b, c, sy, sz):
+        normal = jnp.cross(b - a, c - b)
+        sign = jnp.where(normal[0] >= 0, jnp.float32(1), jnp.float32(-1))
+        A, B, C = jnp.cross(b - a, c - a)
+        D = A * a[0] + B * a[1] + C * a[2]
+
+        dy = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
+        dz = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
+        ys = sy + dy
+        zs = sz + dz
+        cy = origin[1] + (ys.astype(jnp.float32) * vs + vs / 2)
+        cz = origin[2] + (zs.astype(jnp.float32) * vs + vs / 2)
+
+        e0 = _edge_zy(a, b, cy, cz) * sign
+        e1 = _edge_zy(b, c, cy, cz) * sign
+        e2 = _edge_zy(c, a, cy, cz) * sign
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        inside &= (ys >= 0) & (ys < n) & (zs >= 0) & (zs < n)
+
+        intersection = (D - B * cy - C * cz) / A
+        xf = (intersection - origin[0]) / vs
+        valid = inside & jnp.isfinite(xf) & (xf < n)
+        # C-style truncation toward zero, then clamp left-of-grid to 0.
+        x_entry = jnp.clip(xf.astype(jnp.int32), 0, n - 1)
+        cell = jnp.where(valid, zs * n + ys, jnp.int32(n * n))
+        x_entry = jnp.where(valid, x_entry, jnp.int32(0))
+        return cell.reshape(-1), x_entry.reshape(-1)
+
+    cells, xs = jax.vmap(per_triangle)(v0, v1, v2, start_y, start_z)
+    return cells.reshape(-1), xs.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Fragment resolve: sort + XOR scan + boundary gather  (no scatter)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def resolve_fragments(cells, x_entry, *, n: int):
+    """Combine fragments into packed occupancy words (N, N, N/32).
+
+    occupancy_word[c, w] = XOR over fragments f in cell c of
+    ``suffix_mask(x_entry_f, w)``.
+    """
+    num_words = n // WORD_BITS
+    order_cells, order_x = jax.lax.sort((cells, x_entry), num_keys=1)
+
+    # Per-cell fragment ranges via binary search over sorted keys.
+    probes = jnp.arange(n * n + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(order_cells, probes)  # (N*N + 1,)
+    starts, ends = bounds[:-1], bounds[1:]
+
+    grid_words = []
+    x32 = order_x.astype(jnp.int32)
+    for w in range(num_words):
+        s = x32 - WORD_BITS * w
+        mask = jnp.where(
+            s <= 0,
+            jnp.uint32(0xFFFFFFFF),
+            jnp.where(
+                s >= WORD_BITS,
+                jnp.uint32(0),
+                jnp.uint32(0xFFFFFFFF) << jnp.clip(s, 0, WORD_BITS - 1).astype(jnp.uint32),
+            ),
+        )
+        scan = jax.lax.associative_scan(jnp.bitwise_xor, mask)  # inclusive
+        scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])  # P(i)=xor[0..i)
+        word_c = scan0[ends] ^ scan0[starts]  # (N*N,)
+        grid_words.append(word_c)
+
+    words = jnp.stack(grid_words, axis=-1)  # (N*N, num_words)
+    return words.reshape(n, n, num_words)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def voxelize(mesh: Mesh, spec: GridSpec, backend: str = "xla",
+             plan: FragmentPlan | None = None) -> VoxelGrid:
+    """Solid-voxelize `mesh` into a packed VoxelGrid.
+
+    backend: "xla" (this module), "pallas" (TPU kernel), "reference"
+    (NumPy oracle), or "native" (C++/OpenMP).
+    """
+    if backend == "reference":
+        from voxtpu.ops.reference import voxelize_ref
+
+        occ = voxelize_ref(mesh, spec)
+        return VoxelGrid.from_dense(jnp.asarray(occ), spec)
+    if backend == "native":
+        from voxtpu.native import native_voxelize
+
+        occ = native_voxelize(mesh, spec)
+        return VoxelGrid.from_dense(jnp.asarray(occ), spec)
+    if backend == "pallas":
+        from voxtpu.ops.vox_pallas import voxelize_pallas
+
+        return voxelize_pallas(mesh, spec, plan=plan)
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    if plan is None:
+        plan = FragmentPlan(mesh, spec)
+    cells, xs = fragments_from_plan(plan)
+    words = resolve_fragments(cells, xs, n=spec.n)
+    return VoxelGrid(
+        words=words,
+        origin=jnp.asarray(spec.origin, jnp.float32),
+        voxel_size=jnp.float32(spec.voxel_size),
+    )
+
+
+def fragments_from_plan(plan: FragmentPlan):
+    """Emit and concatenate fragments for every bucket of a plan."""
+    spec = plan.spec
+    all_cells, all_xs = [], []
+    for window, v0, v1, v2, sy, sz in plan.buckets:
+        cells, xs = emit_fragments(
+            v0, v1, v2, sy, sz,
+            window=window, n=spec.n,
+            origin=spec.origin, voxel_size=spec.voxel_size,
+        )
+        all_cells.append(cells)
+        all_xs.append(xs)
+    if not all_cells:
+        z = jnp.full((1,), spec.n * spec.n, jnp.int32)
+        return z, jnp.zeros((1,), jnp.int32)
+    return jnp.concatenate(all_cells), jnp.concatenate(all_xs)
