@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: solid voxelization throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference's tiled CUDA voxelizer kernel
+sweeps 512^3 / 1.97 ms ~= 68 Gvox/s (bunny 1.35M faces, kernel-only
+"proc" scope on an undocumented HPC GPU). We measure the same quantity —
+the tiled device kernel with the work queue prebuilt, which is exactly
+what the reference's `proc` scope times (`vox/tiled.cu:557-566` is
+launched after all TileAssignment stages) — on the bundled bunny
+subdivided to ~899K faces at 512^3 on one TPU v5e chip.
+
+Timing uses the differential method (voxtpu/utils/timing.py): the
+tunneled TPU's block_until_ready doesn't fence and bulk D2H is ~100KB/s,
+so we chain K dispatches fenced by a scalar read and difference the
+wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+BASELINE_GVOX_S = 68.0  # 512^3 / 1.97 ms, BASELINE.md tiled vox proc
+
+
+def subdivide(coords: np.ndarray, faces: np.ndarray, times: int):
+    """Midpoint 1:4 subdivision (to reach reference-scale face counts)."""
+    for _ in range(times):
+        v0 = coords[faces[:, 0]]
+        v1 = coords[faces[:, 1]]
+        v2 = coords[faces[:, 2]]
+        m01 = (v0 + v1) / 2
+        m12 = (v1 + v2) / 2
+        m20 = (v2 + v0) / 2
+        base = coords.shape[0]
+        f = faces.shape[0]
+        coords = np.concatenate([coords, m01, m12, m20]).astype(np.float32)
+        i01 = base + np.arange(f)
+        i12 = base + f + np.arange(f)
+        i20 = base + 2 * f + np.arange(f)
+        faces = np.concatenate(
+            [
+                np.stack([faces[:, 0], i01, i20], 1),
+                np.stack([i01, faces[:, 1], i12], 1),
+                np.stack([i20, i12, faces[:, 2]], 1),
+                np.stack([i01, i12, i20], 1),
+            ]
+        ).astype(np.int32)
+    return coords, faces
+
+
+def main() -> int:
+    n = int(os.environ.get("BENCH_N", "512"))
+    subdiv = int(os.environ.get("BENCH_SUBDIV", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.mesh.obj_io import import_mesh
+    from voxtpu.utils.timing import time_device_fn
+
+    mesh = import_mesh("/root/reference/assets/bunny.obj")
+    coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+    mesh = Mesh(name="bunny_sub", coords=coords, faces=faces, faces_normals=faces)
+    spec = GridSpec.fit(mesh.coords, n)
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "xla")
+
+    t0 = time.time()
+    if backend == "pallas":
+        from voxtpu.ops.vox_pallas import PallasVoxPlan, _pallas_words
+
+        plan = PallasVoxPlan(mesh, spec)
+        prep_s = time.time() - t0
+
+        def run(*args):
+            return _pallas_words(*args, n=spec.n, num_tiles=plan.num_tiles)
+
+        args = (plan.local_cells, plan.xs, plan.batch_tile, plan.flags,
+                plan.tile_mask)
+    else:
+        from voxtpu.ops.vox import (FragmentPlan, fragments_from_plan,
+                                    resolve_fragments)
+
+        plan = FragmentPlan(mesh, spec)
+        prep_s = time.time() - t0
+        cells, xs = fragments_from_plan(plan)
+
+        def run(c, x):
+            return resolve_fragments(c, x, n=spec.n)
+
+        args = (cells, xs)
+
+    dt = time_device_fn(run, *args, iters=iters)
+    gvox = n**3 / dt / 1e9
+
+    print(
+        f"# backend={backend} n={n} faces={mesh.num_faces} "
+        f"fragments={getattr(plan, 'num_fragments', -1)} prep={prep_s:.1f}s "
+        f"kernel={dt * 1e3:.3f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"tiled_vox_kernel_gvox_per_s_{n}c_{mesh.num_faces}f",
+                "value": round(gvox, 2),
+                "unit": "Gvox/s",
+                "vs_baseline": round(gvox / BASELINE_GVOX_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""Pallas JFA vs oracle (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.jfa import jfa
+from voxtpu.ops.reference import jfa_ref
+
+
+def _ball(n, r=0.35):
+    zz, yy, xx = np.indices((n, n, n))
+    c = (n - 1) / 2
+    return (zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 <= (n * r) ** 2
+
+
+def test_pallas_jfa_matches_oracle_ball():
+    n = 16
+    occ = _ball(n)
+    spec = GridSpec(n=n, origin=(0.25, -1.0, 3.0), voxel_size=1.0 / n)
+    ref = jfa_ref(occ, spec)
+    got = np.asarray(jfa(occ, spec, backend="pallas"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
+def test_pallas_jfa_matches_oracle_random():
+    rng = np.random.default_rng(7)
+    n = 16
+    occ = rng.random((n, n, n)) < 0.2
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=0.125)
+    ref = jfa_ref(occ, spec)
+    got = np.asarray(jfa(occ, spec, backend="pallas"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
+def test_pallas_jfa_size_cap():
+    spec = GridSpec(n=1024, origin=(0, 0, 0), voxel_size=1.0)
+    with pytest.raises(ValueError):
+        jfa(np.zeros((1024,) * 3, bool), spec, backend="pallas")

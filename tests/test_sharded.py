@@ -1,0 +1,85 @@
+"""Multi-device (8 fake CPU devices): sharded ops match single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.jfa import jfa
+from voxtpu.ops.vox import voxelize
+
+
+def _mesh(dd, dz):
+    devs = np.asarray(jax.devices()[: dd * dz]).reshape(dd, dz)
+    return Mesh(devs, ("d", "z"))
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_vox_matches_single(sphere_mesh, shape):
+    from voxtpu.parallel.sharded_vox import voxelize_sharded
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    single = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
+    sharded = np.asarray(
+        voxelize_sharded(sphere_mesh, spec, _mesh(*shape)).words
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_jfa_matches_single(shape):
+    from voxtpu.parallel.sharded_jfa import jfa_sharded
+
+    n = 32
+    zz, yy, xx = np.indices((n, n, n))
+    c = (n - 1) / 2
+    occ = (zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 <= (n * 0.35) ** 2
+    spec = GridSpec(n=n, origin=(0.5, 0.0, -1.0), voxel_size=1.0 / n)
+    single = np.asarray(jfa(jnp.asarray(occ), spec, backend="xla"))
+    sharded = np.asarray(jfa_sharded(jnp.asarray(occ), spec, _mesh(*shape)))
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=0)
+
+
+def test_sharded_fit_step_improves(sphere_mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from voxtpu.ops.soft_vox import make_soft_plan
+    from voxtpu.parallel.sharded_fit import make_sharded_fit
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(jnp.float32)
+    dmesh = _mesh(2, 4)
+    plan = make_soft_plan(sphere_mesh, spec)
+    init_fn, step_fn, loss_fn = make_sharded_fit(plan, target, dmesh,
+                                                 learning_rate=1e-3)
+    target_slab = jax.device_put(target, NamedSharding(dmesh, P("z", None, None)))
+    coords, opt_state = init_fn(sphere_mesh.coords)
+    losses = []
+    for _ in range(3):
+        coords, opt_state, loss = step_fn(coords, opt_state, target_slab)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] <= losses[0] + 1e-4
+
+
+def test_sharded_fit_matches_unsharded_loss(sphere_mesh):
+    """The sharded loss must equal the single-device soft loss."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from voxtpu.models.fit import soft_iou_loss
+    from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+    from voxtpu.parallel.sharded_fit import make_sharded_fit
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(jnp.float32)
+    dmesh = _mesh(2, 4)
+    plan = make_soft_plan(sphere_mesh, spec)
+    _, _, loss_fn = make_sharded_fit(plan, target, dmesh)
+    target_slab = jax.device_put(target, NamedSharding(dmesh, P("z", None, None)))
+    sharded_loss = float(loss_fn(jnp.asarray(sphere_mesh.coords), target_slab))
+
+    occ = soft_voxelize(jnp.asarray(sphere_mesh.coords), plan)
+    single_loss = float(soft_iou_loss(occ, target))
+    assert abs(sharded_loss - single_loss) < 1e-4

@@ -1,0 +1,43 @@
+"""Pallas tiled voxelizer vs oracle (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.reference import voxelize_ref
+from voxtpu.ops.vox import voxelize
+
+
+@pytest.mark.parametrize("mesh_name", ["sphere_mesh", "d20_mesh"])
+def test_pallas_matches_oracle(mesh_name, request):
+    mesh = request.getfixturevalue(mesh_name)
+    spec = GridSpec.fit(mesh.coords, 32)
+    ref = voxelize_ref(mesh, spec)
+    got = np.asarray(voxelize(mesh, spec, backend="pallas").to_dense())
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_matches_xla_torus(torus_mesh):
+    spec = GridSpec.fit(torus_mesh.coords, 64)
+    xla = np.asarray(voxelize(torus_mesh, spec, backend="xla").words)
+    got = np.asarray(voxelize(torus_mesh, spec, backend="pallas").words)
+    np.testing.assert_array_equal(got, xla)
+
+
+def test_pallas_empty_mesh():
+    from voxtpu.mesh.mesh import Mesh
+
+    spec = GridSpec(n=32, origin=(0, 0, 0), voxel_size=1 / 32)
+    got = np.asarray(voxelize(Mesh(name="empty"), spec, backend="pallas").to_dense())
+    assert got.sum() == 0
+
+
+def test_pallas_plan_reuse(sphere_mesh):
+    from voxtpu.ops.vox_pallas import PallasVoxPlan, voxelize_pallas
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    plan = PallasVoxPlan(sphere_mesh, spec)
+    a = np.asarray(voxelize_pallas(sphere_mesh, spec, plan=plan).words)
+    b = np.asarray(voxelize_pallas(sphere_mesh, spec, plan=plan).words)
+    np.testing.assert_array_equal(a, b)
+    assert plan.num_batches >= 1

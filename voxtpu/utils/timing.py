@@ -1,0 +1,53 @@
+"""Device timing that survives high-latency host<->device links.
+
+On the axon-tunneled TPU, `block_until_ready` does not actually fence
+and bulk D2H transfers run at ~100 KB/s, so the reference's timing
+pattern (host wall clock around synchronized scopes,
+`vplib/src/profiling.h`) mismeasures badly. Instead we time
+*differentially*: dispatch K1 and K2 chained iterations, fence each with
+a scalar-sized D2H, and divide the difference — constant dispatch/sync
+overhead cancels.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(value) -> None:
+    """Force execution with a scalar-sized device->host read."""
+    leaf = jax.tree_util.tree_leaves(value)[0]
+    flat = leaf.reshape(-1)[:1]
+    float(jnp.sum(flat.astype(jnp.float32)))
+
+
+def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
+                   chain=None) -> float:
+    """Per-iteration seconds of `fn(*args)` on device.
+
+    `fn` must return a pytree; `chain(prev_out, args) -> new args` makes
+    successive iterations data-dependent (defaults to re-running on the
+    same inputs, which on a single TPU core still serializes).
+    """
+    out = fn(*args)
+    for _ in range(max(0, warmup - 1)):
+        out = fn(*args)
+    _sync(out)
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        a = args
+        o = None
+        for _ in range(k):
+            o = fn(*a)
+            if chain is not None:
+                a = chain(o, a)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    t_base = run(1)
+    t_long = run(1 + iters)
+    return max((t_long - t_base) / iters, 1e-9)
