@@ -67,6 +67,7 @@ def main() -> int:
     n = int(os.environ.get("BENCH_N", "512"))
     subdiv = int(os.environ.get("BENCH_SUBDIV", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    op = os.environ.get("BENCH_OP", "vox")  # vox | jfa | csg
 
     from voxtpu.grids.voxel_grid import GridSpec
     from voxtpu.mesh.mesh import Mesh
@@ -80,6 +81,9 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
     backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "xla")
+
+    if op != "vox":
+        return _bench_other(op, mesh, spec, backend, n, iters)
 
     t0 = time.time()
     if backend == "pallas":
@@ -125,6 +129,65 @@ def main() -> int:
             }
         )
     )
+    return 0
+
+
+def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
+    """Secondary metrics: JFA SDF sweep and packed CSG fold.
+
+    Baselines (BASELINE.md): tiled CUDA JFA proc @512^3 = 264.71 ms for
+    log2(512)+1 = 10 flood passes; naive CUDA CSG total @512^3 = 21.53 ms.
+    """
+    import jax.numpy as jnp
+
+    from voxtpu.ops.vox import voxelize
+    from voxtpu.utils.timing import time_device_fn
+
+    grid = voxelize(mesh, spec, backend="xla")
+
+    if op == "jfa":
+        occ = grid.to_dense()
+        if backend == "pallas":
+            from voxtpu.ops.jfa_pallas import _jfa_pallas as run_jfa
+        else:
+            from voxtpu.ops.jfa import jfa_xla as run_jfa
+        origin = jnp.asarray(spec.origin, jnp.float32)
+        vs = jnp.float32(spec.voxel_size)
+
+        def run(o):
+            return run_jfa(o, origin, vs, n=n)
+
+        dt = time_device_fn(run, occ, iters=iters)
+        passes = n.bit_length()  # log2(n) + 1 k-steps, incl. init
+        baseline_ms = 264.71 if n == 512 else (36.46 if n == 256 else None)
+        out = {
+            "metric": f"jfa_sdf_full_ms_{n}c",
+            "value": round(dt * 1e3, 3),
+            "unit": "ms",
+            "vs_baseline": round(baseline_ms / (dt * 1e3), 3) if baseline_ms else -1,
+        }
+        print(f"# backend={backend} n={n} passes~{passes} {dt*1e3:.3f}ms",
+              file=sys.stderr)
+    elif op == "csg":
+        from voxtpu.ops.csg import _WORD_OPS
+
+        shifted = jnp.roll(grid.words, 1, axis=0)
+
+        def run(a, b):
+            return _WORD_OPS["union"](a, b)
+
+        dt = time_device_fn(run, grid.words, shifted, iters=max(iters, 50))
+        baseline_ms = 21.53 if n == 512 else None
+        out = {
+            "metric": f"csg_union_packed_ms_{n}c",
+            "value": round(dt * 1e3, 4),
+            "unit": "ms",
+            "vs_baseline": round(baseline_ms / (dt * 1e3), 3) if baseline_ms else -1,
+        }
+        print(f"# backend=xla n={n} {dt*1e3:.4f}ms", file=sys.stderr)
+    else:
+        raise SystemExit(f"unknown BENCH_OP {op!r}")
+    print(json.dumps(out))
     return 0
 
 

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="out")
     p.add_argument("--device", default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
     return p
 
 
@@ -76,6 +78,21 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.device)
 
+    from voxtpu.utils import profiling
+
+    profiling.enable(True)
+
+    if args.trace:
+        from voxtpu.utils.trace import trace as device_trace
+
+        with device_trace(args.trace):
+            return _run_pipeline(args, filenames)
+    return _run_pipeline(args, filenames)
+
+
+def _run_pipeline(args, filenames) -> int:
+    import numpy as np
+
     from voxtpu.grids.voxel_grid import GridSpec
     from voxtpu.mesh.grid_to_mesh import (
         voxels_grid_to_mesh,
@@ -86,10 +103,7 @@ def main(argv=None) -> int:
     from voxtpu.ops.csg import csg
     from voxtpu.ops.jfa import jfa
     from voxtpu.ops.vox import voxelize
-    from voxtpu.utils import profiling
     from voxtpu.utils.profiling import ProfilingScope
-
-    profiling.enable(True)
 
     backend = BACKENDS[args.type]
     vox_label = BACKEND_LABEL[args.type]

@@ -2,17 +2,17 @@
 
 TPU-first replacement for the reference's flagship work-queue kernel
 (`vox/tiled.cu:372-486`): one grid step per *fragment batch* instead of
-one CUDA block per 4x4 tile, and the atomicXor column fill becomes MXU
-matmuls:
+one CUDA block per 4x4 tile, and the atomicXor column fill becomes an
+MXU matmul:
 
-    For a tile of 128 consecutive YZ cells and a batch of TB=1024
-    fragments (cell, x_entry), the parity-count update is
+    For a tile of TC consecutive YZ cells and a batch of TB fragments
+    (cell, x_entry), the parity-count update is
 
         counts[cell, x] += sum_f onehot[cell, f] * (x >= x_f)
 
-    an MXU contraction of a one-hot matrix with a suffix-step matrix.
-    Fragments arrive as (8, 128) sublane x lane panels; each panel
-    contributes one (128 x 128) @ (128 x N)^T `dot_general`. At the last
+    one (TC x TB) @ (TB x N) contraction of a one-hot matrix with a
+    suffix-step matrix (int8 operands, int32 accumulation — the MXU's
+    fastest path; both matrices are 0/1 so int8 is exact). At the last
     batch of each tile the counts are reduced mod 2 and bit-packed into
     uint32 words with two more tiny matmuls (weights 2^b split into
     16-bit halves to stay within float32-exact integer range).
@@ -20,13 +20,19 @@ matmuls:
 The reference's tile-assignment stages (overlap count / scan / work
 queue population / radix sort / RLE, `vox/tiled.cu:15-370`) become:
 fragment emission (XLA, `voxtpu.ops.vox.emit_fragments`), one
-`jax.lax.sort` by cell, and a host-side batch layout (NumPy, one-time
-per (mesh, grid) — reusable across iterations, unlike the reference
-which rebuilds its queue every call).
+`jax.lax.sort` by cell, and a device-side batch layout driven by a tiny
+(num_tiles+1) host round-trip — reusable across iterations, unlike the
+reference which rebuilds its queue every call.
 
 Output blocks are accumulated in VMEM scratch across the sequential
 Pallas grid (TPU grid steps run in order on the core, so revisiting the
 same output block is the idiomatic accumulation pattern).
+
+Tile geometry: TILE_CELLS is the MXU M dimension (output rows DMA'd per
+tile) and TB = TB_SUB * 128 the K dimension. Defaults were swept on a
+TPU v5e (see BENCH_NOTES.md): small batches win — padding waste from
+rounding each tile's fragment count up to TB dominates over per-step
+overhead for surface meshes.
 """
 
 from __future__ import annotations
@@ -41,42 +47,49 @@ from voxtpu.grids.voxel_grid import WORD_BITS, GridSpec, VoxelGrid
 from voxtpu.mesh.mesh import Mesh
 from voxtpu.ops.vox import FragmentPlan, fragments_from_plan
 
-TILE_CELLS = 128          # cells (YZ columns) per output tile == lane width
-TB_SUB, TB_LANE = 8, 128  # fragment batch = 8 x 128 panel
-TB = TB_SUB * TB_LANE
+TILE_CELLS = 128          # cells (YZ columns) per output tile, MXU M dim
+TB_SUB, TB_LANE = 4, 128  # fragment batch = TB_SUB x 128 panel
 FLAG_FIRST = 1
 FLAG_LAST = 2
 
 
-def _pallas_kernel(n: int, num_words: int):
+def _pallas_kernel(n: int, num_words: int, tc: int, tb: int):
     from jax.experimental import pallas as pl
+
+    tb_sub = tb // TB_LANE
 
     def kernel(batch_tile_ref, flags_ref, cell_ref, x_ref, out_ref, counts):
         b = pl.program_id(0)
         flags = flags_ref[b]
 
+        # Per 128-lane panel: onehot (TC, 128) int8 x fill (N, 128) int8,
+        # contracted over the lane dim -> (TC, N) int32 on the MXU. Both
+        # matrices are 0/1 so int8 is exact (int8 is the MXU's fastest
+        # path); Mosaic cannot reshape lane panels into sublanes, hence
+        # the python loop instead of one fused (TC, TB) @ (TB, N) dot.
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, (n, TB_LANE), 0)
+        acc = jnp.zeros((tc, n), jnp.int32)
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]  # (128,) lane vector, -1 = inert
+            xs_s = x_ref[0, s, :]
+            onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
+            fill_t = (x_iota >= xs_s[None, :]).astype(jnp.int8)  # (N, 128)
+            acc += jax.lax.dot_general(
+                onehot, fill_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
             counts[:] = jnp.zeros_like(counts)
 
-        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_CELLS, TB_LANE), 0)
-        x_iota = jax.lax.broadcasted_iota(jnp.int32, (n, TB_LANE), 0)
-        acc = jnp.zeros((TILE_CELLS, n), jnp.float32)
-        for s in range(TB_SUB):
-            cells_s = cell_ref[0, s, :]  # (128,) lane vector, -1 = inert
-            xs_s = x_ref[0, s, :]
-            onehot = (cell_iota == cells_s[None, :]).astype(jnp.bfloat16)
-            fill_t = (x_iota >= xs_s[None, :]).astype(jnp.bfloat16)  # (N, TB_LANE)
-            acc += jax.lax.dot_general(
-                onehot, fill_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
         counts[:] += acc
 
         @pl.when((flags & FLAG_LAST) != 0)
         def _():
-            bits = (counts[:].astype(jnp.int32) & 1).astype(jnp.float32)  # (128, N)
+            bits = (counts[:] & 1).astype(jnp.float32)  # (TC, N)
             # Pack 32 bits/word via two exact f32 matmuls (2^0..2^15 halves).
             x_col = jax.lax.broadcasted_iota(jnp.int32, (n, num_words), 0)
             w_col = jax.lax.broadcasted_iota(jnp.int32, (n, num_words), 1)
@@ -98,38 +111,55 @@ def _pallas_kernel(n: int, num_words: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "num_tiles"))
-def _run_pallas(local_cells, xs, batch_tile, flags, *, n: int, num_tiles: int):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "num_tiles", "tc", "tb_sub"))
+def _run_pallas(local_cells, xs, batch_tile, flags, *, n: int, num_tiles: int,
+                tc: int = TILE_CELLS, tb_sub: int = TB_SUB):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    tb = tb_sub * TB_LANE
     num_words = n // WORD_BITS
     num_batches = local_cells.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # batch_tile, flags
         grid=(num_batches,),
         in_specs=[
-            pl.BlockSpec((1, TB_SUB, TB_LANE), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, TB_SUB, TB_LANE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_CELLS, num_words),
+            (1, tc, num_words),
             lambda b, batch_tile, flags: (batch_tile[b], 0, 0),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE_CELLS, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, n), jnp.int32)],
     )
-    flops = num_batches * 2 * TB * TILE_CELLS * n
+    flops = num_batches * 2 * tb * tc * n
     return pl.pallas_call(
-        _pallas_kernel(n, num_words),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_CELLS, num_words),
-                                       jnp.uint32),
+        _pallas_kernel(n, num_words, tc, tb),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tc, num_words), jnp.uint32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=num_batches * TB * 8, transcendentals=0
+            flops=flops, bytes_accessed=num_batches * tb * 8, transcendentals=0
         ),
         # Off-TPU (tests on the CPU mesh) the kernel runs interpreted.
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, flags, local_cells, xs)
+
+
+@functools.partial(jax.jit, static_argnames=("tc", "tb"))
+def _gather_batches(sorted_cells, sorted_xs, starts, ends, *,
+                    tc: int, tb: int):
+    """Device-side batch materialization: gather sorted fragments into
+    (B, TB) panels with -1 inert lanes (replaces a host gather of MBs —
+    only the tiny per-tile bounds array crosses the tunnel)."""
+    nvalid = sorted_cells.shape[0]
+    idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
+    in_range = idx < ends[:, None]
+    idx_c = jnp.clip(idx, 0, max(nvalid - 1, 0))
+    local = jnp.where(in_range, sorted_cells[idx_c] % tc, -1)
+    xvals = jnp.where(in_range, sorted_xs[idx_c], 0)
+    return local.astype(jnp.int32), xvals.astype(jnp.int32)
 
 
 class PallasVoxPlan:
@@ -137,60 +167,54 @@ class PallasVoxPlan:
 
     def __init__(self, mesh: Mesh, spec: GridSpec,
                  frag_plan: FragmentPlan | None = None,
-                 fragments=None):
+                 fragments=None, tc: int = TILE_CELLS, tb_sub: int = TB_SUB):
         if spec.n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
         n = spec.n
+        tb = tb_sub * TB_LANE
         self.spec = spec
+        self.tc = tc
+        self.tb_sub = tb_sub
         if fragments is None:
             if frag_plan is None:
                 frag_plan = FragmentPlan(mesh, spec)
-            cells, xs = fragments_from_plan(frag_plan)
-            cells, xs = jax.lax.sort((cells, xs), num_keys=1)
-            cells_h = np.asarray(cells)
-            xs_h = np.asarray(xs)
-        else:
-            cells_h, xs_h = fragments
-            order = np.argsort(cells_h, kind="stable")
-            cells_h, xs_h = cells_h[order], xs_h[order]
-        valid = int(np.searchsorted(cells_h, n * n))
-        cells_h, xs_h = cells_h[:valid], xs_h[:valid]
+            fragments = fragments_from_plan(frag_plan)
+        cells, xs = (jnp.asarray(a) for a in fragments)
+        cells, xs = jax.lax.sort((cells, xs), num_keys=1)
 
-        num_tiles = (n * n) // TILE_CELLS
+        num_tiles = (n * n) // tc
         self.num_tiles = num_tiles
-        tile_of = cells_h // TILE_CELLS
-        bounds = np.searchsorted(tile_of, np.arange(num_tiles + 1))
+        # Tiny D2H: per-tile fragment ranges (num_tiles+1 int32s).
+        probes = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tc
+        bounds = np.asarray(jnp.searchsorted(cells, probes))
+        valid = int(bounds[-1])
         counts = np.diff(bounds)
         active = np.nonzero(counts)[0]
+
         batch_tiles, batch_starts, batch_flags = [], [], []
         for t in active:
-            nb = -(-int(counts[t]) // TB)
+            nb = -(-int(counts[t]) // tb)
             for i in range(nb):
                 batch_tiles.append(t)
-                batch_starts.append(bounds[t] + i * TB)
+                batch_starts.append(bounds[t] + i * tb)
                 f = (FLAG_FIRST if i == 0 else 0) | (FLAG_LAST if i == nb - 1 else 0)
                 batch_flags.append(f)
         if not batch_tiles:  # empty mesh: one inert batch writing tile 0
             batch_tiles, batch_starts, batch_flags = [0], [0], [FLAG_FIRST | FLAG_LAST]
-            cells_h = np.zeros((0,), np.int32)
-            xs_h = np.zeros((0,), np.int32)
             valid = 0
 
         b = len(batch_tiles)
-        if valid:
-            idx = np.asarray(batch_starts)[:, None] + np.arange(TB)[None, :]
-            end_per_tile = bounds[np.asarray(batch_tiles) + 1]
-            in_range = idx < np.asarray(end_per_tile)[:, None]
-            idx_c = np.clip(idx, 0, valid - 1)
-            local = np.where(in_range,
-                             (cells_h[idx_c] % TILE_CELLS).astype(np.int32), -1)
-            xvals = np.where(in_range, xs_h[idx_c].astype(np.int32), 0)
-        else:
-            local = np.full((b, TB), -1, np.int32)
-            xvals = np.zeros((b, TB), np.int32)
-
-        self.local_cells = jnp.asarray(local.reshape(b, TB_SUB, TB_LANE))
-        self.xs = jnp.asarray(xvals.reshape(b, TB_SUB, TB_LANE))
+        starts_h = np.asarray(batch_starts, np.int64)
+        # Batch ends: fragment range end of the owning tile, capped at TB.
+        ends_h = np.minimum(starts_h + tb, bounds[np.asarray(batch_tiles) + 1])
+        starts = jnp.asarray(starts_h.astype(np.int32))
+        ends = jnp.asarray(ends_h.astype(np.int32))
+        local, xvals = _gather_batches(
+            cells[:max(valid, 1)], xs[:max(valid, 1)], starts, ends,
+            tc=tc, tb=tb,
+        )
+        self.local_cells = local.reshape(b, tb_sub, TB_LANE)
+        self.xs = xvals.reshape(b, tb_sub, TB_LANE)
         self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)  # (B,)
         self.flags = jnp.asarray(batch_flags, jnp.int32)       # (B,)
         tile_mask = np.zeros((num_tiles,), bool)
@@ -200,11 +224,12 @@ class PallasVoxPlan:
         self.num_batches = b
 
 
-@functools.partial(jax.jit, static_argnames=("n", "num_tiles"))
+@functools.partial(jax.jit, static_argnames=("n", "num_tiles", "tc", "tb_sub"))
 def _pallas_words(local_cells, xs, batch_tile, flags, tile_mask, *,
-                  n: int, num_tiles: int):
+                  n: int, num_tiles: int, tc: int = TILE_CELLS,
+                  tb_sub: int = TB_SUB):
     words = _run_pallas(local_cells, xs, batch_tile, flags,
-                        n=n, num_tiles=num_tiles)
+                        n=n, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub)
     # Tiles with no fragments are never visited -> their blocks are
     # uninitialized; mask them to zero.
     words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
@@ -218,7 +243,7 @@ def voxelize_pallas(mesh: Mesh, spec: GridSpec,
         plan = PallasVoxPlan(mesh, spec, frag_plan=plan)
     words = _pallas_words(
         plan.local_cells, plan.xs, plan.batch_tile, plan.flags, plan.tile_mask,
-        n=spec.n, num_tiles=plan.num_tiles,
+        n=spec.n, num_tiles=plan.num_tiles, tc=plan.tc, tb_sub=plan.tb_sub,
     )
     return VoxelGrid(
         words=words,
