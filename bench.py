@@ -133,17 +133,40 @@ def main() -> int:
 
 
 def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
-    """Secondary metrics: JFA SDF sweep and packed CSG fold.
+    """Secondary metrics: JFA SDF sweep, packed CSG fold, soft-vox fwd+bwd.
 
     Baselines (BASELINE.md): tiled CUDA JFA proc @512^3 = 264.71 ms for
     log2(512)+1 = 10 flood passes; naive CUDA CSG total @512^3 = 21.53 ms.
+
+    JFA/CSG run on a synthetic ball occupancy by default (BENCH_OCC=mesh
+    voxelizes the bunny instead): flood cost is a fixed log2(N)+1 passes
+    over the whole grid regardless of seed layout, and skipping the 512^3
+    voxelization keeps the bench inside the driver's time budget on the
+    tunneled chip.
     """
+    import functools
+
+    import jax as _jax
     import jax.numpy as jnp
 
-    from voxtpu.ops.vox import voxelize
+    from voxtpu.grids.voxel_grid import VoxelGrid
     from voxtpu.utils.timing import time_device_fn
 
-    grid = voxelize(mesh, spec, backend="xla")
+    if os.environ.get("BENCH_OCC", "ball") == "mesh" or op == "softvox":
+        from voxtpu.ops.vox import voxelize
+
+        grid = voxelize(mesh, spec, backend="xla")
+    else:
+        @functools.partial(_jax.jit, static_argnames=("n",))
+        def ball(*, n):
+            zz = _jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 0)
+            yy = _jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 1)
+            xx = _jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 2)
+            c = (n - 1) / 2.0
+            return ((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2
+                    <= (0.35 * n) ** 2)
+
+        grid = VoxelGrid.from_dense(ball(n=n), spec)
 
     if op == "jfa":
         occ = grid.to_dense()
@@ -167,6 +190,35 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
             "vs_baseline": round(baseline_ms / (dt * 1e3), 3) if baseline_ms else -1,
         }
         print(f"# backend={backend} n={n} passes~{passes} {dt*1e3:.3f}ms",
+              file=sys.stderr)
+    elif op == "softvox":
+        # Differentiable pipeline fwd+bwd (no reference analog — the CUDA
+        # parity fill has no gradients; vs_baseline is vs the hard-vox
+        # kernel baseline's voxel rate for scale).
+        from voxtpu.models.fit import soft_iou_loss
+        from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+
+        plan = make_soft_plan(mesh, spec)
+        target = grid.to_dense().astype(jnp.float32)
+
+        @_jax.jit
+        def fwd_bwd(coords, target):
+            def loss(c):
+                return soft_iou_loss(soft_voxelize(c, plan), target)
+
+            return _jax.value_and_grad(loss)(coords)
+
+        coords = jnp.asarray(mesh.coords)
+        dt = time_device_fn(fwd_bwd, coords, target, iters=iters)
+        mvox = n**3 / dt / 1e6
+        out = {
+            "metric": f"soft_vox_fwd_bwd_mvox_per_s_{n}c_{mesh.num_faces}f",
+            "value": round(mvox, 1),
+            "unit": "Mvox/s",
+            "vs_baseline": -1,
+        }
+        print(f"# backend=xla n={n} faces={mesh.num_faces} "
+              f"fragments={plan.num_fragments} fwd+bwd={dt*1e3:.3f}ms",
               file=sys.stderr)
     elif op == "csg":
         from voxtpu.ops.csg import _WORD_OPS

@@ -34,6 +34,7 @@ def test_pallas_jfa_matches_oracle_random():
 
 
 def test_pallas_jfa_size_cap():
-    spec = GridSpec(n=1024, origin=(0, 0, 0), voxel_size=1.0)
+    # 10-bit packed seeds cap the pallas path at N = 1024.
+    spec = GridSpec(n=2048, origin=(0, 0, 0), voxel_size=1.0)
     with pytest.raises(ValueError):
-        jfa(np.zeros((1024,) * 3, bool), spec, backend="pallas")
+        jfa(np.zeros((8, 8, 8), bool), spec, backend="pallas")

@@ -87,57 +87,92 @@ def jfa_init(occ, origin, vs):
     return sdf, seed
 
 
-def _flood_step(sdf, seed, k: int, n: int, origin, vs, px, py, pz):
-    """One JFA pass (`jfa/sequential.cpp:72-125`): scan 26 neighbors at
-    stride k, keep the minimum squared distance to a known seed, preserve
-    the sign of the center's current value (copysign semantics)."""
-    best = sdf
-    best_abs = jnp.abs(sdf)
-    best_seed = seed
-    sign = jnp.where(jnp.signbit(sdf), jnp.float32(-1), jnp.float32(1))
+_NO_SEED = jnp.int32(-1)
+
+
+def jfa_init_seed(occ):
+    """Seed detection returning the flood state as ONE packed int32 seed
+    grid: 10-bit (z, y, x) fields for seeds, -1 where no seed is known.
+
+    The 26-view flood loop is HBM-bound on re-reads of the state (each
+    shifted view re-streams the whole array), so the winning layout is
+    the *smallest possible state*: the sdf value is recomputable from
+    the seed (8 flops) and does not travel between steps; validity is
+    seed >= 0 (d2 of the -1 sentinel is forced to +inf).
+    """
+    n = occ.shape[0]
+    all_n = jnp.ones_like(occ)
+    for dz, dy, dx in _OFFSETS:
+        all_n &= _shift3(occ, dz, dy, dx, False)
+    boundary = occ & ~all_n
+    packed = (
+        (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0) << 20)
+        | (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1) << 10)
+        | jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 2)
+    )
+    return jnp.where(boundary, packed, _NO_SEED)
+
+
+def _seed_d2(seed, origin, vs, px, py, pz):
+    """Squared world distance voxel->seed; +inf for the -1 sentinel
+    (world coords reconstructed exactly as the reference computes them,
+    `jfa/sequential.cpp:31-33`: origin + idx * voxel_size, float32)."""
     mask10 = jnp.int32(0x3FF)
+    sx = (seed & mask10).astype(jnp.float32)
+    sy = ((seed >> 10) & mask10).astype(jnp.float32)
+    sz = ((seed >> 20) & mask10).astype(jnp.float32)
+    d2 = (
+        (px - (origin[0] + sx * vs)) ** 2
+        + (py - (origin[1] + sy * vs)) ** 2
+        + (pz - (origin[2] + sz * vs)) ** 2
+    )
+    return jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
+
+
+def _flood_step_seed(seed, k: int, n: int, origin, vs, px, py, pz):
+    """One JFA pass (`jfa/sequential.cpp:72-125`): scan 26 neighbors at
+    stride k, keep the seed with minimum squared distance. Strict `<`
+    with the reference's offset order preserves its tie-breaking."""
     # Pad once per step; the 26 neighbor views are then static slices of
     # the same buffer (XLA fuses slices into the elementwise min-chain).
-    psdf = jnp.pad(sdf, k, constant_values=jnp.inf)
-    pseed = jnp.pad(seed, k, constant_values=0)
+    pseed = jnp.pad(seed, k, constant_values=_NO_SEED)
 
-    def view(p, dz, dy, dx):
-        return p[
+    def view(dz, dy, dx):
+        return pseed[
             k + dz * k : k + dz * k + n,
             k + dy * k : k + dy * k + n,
             k + dx * k : k + dx * k + n,
         ]
 
+    best_d2 = _seed_d2(seed, origin, vs, px, py, pz)
     for dz, dy, dx in _OFFSETS:
-        nsdf = view(psdf, dz, dy, dx)
-        nseed = view(pseed, dz, dy, dx)
-        valid = jnp.isfinite(nsdf)
-        sx = (nseed & mask10).astype(jnp.float32)
-        sy = ((nseed >> 10) & mask10).astype(jnp.float32)
-        sz = ((nseed >> 20) & mask10).astype(jnp.float32)
-        wx = origin[0] + sx * vs
-        wy = origin[1] + sy * vs
-        wz = origin[2] + sz * vs
-        d2 = (px - wx) ** 2 + (py - wy) ** 2 + (pz - wz) ** 2
-        better = valid & (d2 < best_abs)
-        best = jnp.where(better, sign * d2, best)
-        best_abs = jnp.where(better, d2, best_abs)
-        best_seed = jnp.where(better, nseed, best_seed)
-    return best, best_seed
+        nseed = view(dz, dy, dx)
+        d2 = _seed_d2(nseed, origin, vs, px, py, pz)
+        better = d2 < best_d2
+        best_d2 = jnp.where(better, d2, best_d2)
+        seed = jnp.where(better, nseed, seed)
+    return seed
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def jfa_xla(occ, origin, voxel_size, *, n: int):
-    """Full JFA: init + statically unrolled flood over k = N/2 ... 1."""
+    """Full JFA: init + statically unrolled flood over k = N/2 ... 1.
+
+    Output contract (== reference `jfa/sequential.cpp`): signed squared
+    world-space distance; surface seeds 0, interior +, exterior -,
+    unreached interior +inf / exterior -inf (caller-init convention,
+    `apps/cli/main.cpp:200`).
+    """
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
-    sdf, seed = jfa_init(occ, origin, vs)
+    seed = jfa_init_seed(occ)
     px, py, pz = _corner_coords(n, origin, vs)
     k = n // 2
     while k >= 1:
-        sdf, seed = _flood_step(sdf, seed, k, n, origin, vs, px, py, pz)
+        seed = _flood_step_seed(seed, k, n, origin, vs, px, py, pz)
         k //= 2
-    return sdf
+    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
+    return sign * _seed_d2(seed, origin, vs, px, py, pz)
 
 
 def jfa(grid: VoxelGrid | jnp.ndarray, spec: GridSpec | None = None,

@@ -2,32 +2,34 @@
 
 The CP/ring-attention-shaped component of this framework (SURVEY.md §5
 "long-context analog"): the voxel grid is sharded along Z; each flood
-step at stride k needs the sdf/seed planes at z +/- k, which live at
+step at stride k needs the best-seed planes at z +/- k, which live at
 most one device away while k <= slab thickness. Two regimes:
 
 - **k < slab**: exchange k-plane halos with `jax.lax.ppermute` (up and
   down along the "z" mesh axis), then run the local 26-neighbor stencil
-  on the halo-padded slab. Communication: 2 * k * N^2 * 8 bytes.
+  on the halo-padded slab. Communication: 2 * k * N^2 * 4 bytes.
 - **k >= slab**: the first log2(dz) steps reach across several devices;
   `all_gather` the slabs (these early steps are few and the reference
   equivalently reads the whole grid each step).
 
-Edge devices receive zero-filled halos from `ppermute` (no sender);
-sdf halos are then overridden to +inf (out-of-grid neighbors are
-"skipped" in the reference, `jfa/sequential.cpp:96-101` — +inf makes
-them fail the isfinite seed test).
+State is ONE packed int32 seed grid (-1 = no seed), the same
+HBM-traffic-minimal formulation as `voxtpu.ops.jfa.jfa_xla` — the flood
+is memory-bound on state re-reads, and on the wire the halo is a single
+int32 plane set instead of sdf + seed (or three coordinate planes).
+Edge devices receive zero-filled halos from `ppermute` (no sender),
+overridden to the -1 sentinel (out-of-grid neighbors are "skipped" in
+the reference, `jfa/sequential.cpp:96-101`; d2(-1) = +inf loses every
+strict `<` comparison).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from voxtpu.grids.voxel_grid import GridSpec
-from voxtpu.ops.jfa import _OFFSETS, jfa_init
+from voxtpu.ops.jfa import _OFFSETS, _seed_d2
 
 
 def _halo_exchange(arr, k: int, axis_name: str, fill):
@@ -59,78 +61,51 @@ def _pad_yx(a, k: int, fill):
     return jnp.pad(a, ((0, 0), (k, k), (k, k)), constant_values=fill)
 
 
-def _step_local(sdf, seed, k: int, n: int, slab: int, origin, vs, px, py, pz,
+def _minimize(seed, best_d2, views_fn, origin, vs, px, py, pz):
+    """Shared 26-neighbor minimization; views_fn(dz, dy, dx) -> plane."""
+    for dz, dy, dx in _OFFSETS:
+        nseed = views_fn(dz, dy, dx)
+        d2 = _seed_d2(nseed, origin, vs, px, py, pz)
+        better = d2 < best_d2
+        best_d2 = jnp.where(better, d2, best_d2)
+        seed = jnp.where(better, nseed, seed)
+    return seed, best_d2
+
+
+def _step_local(seed, k: int, n: int, slab: int, origin, vs, px, py, pz,
                 axis_name: str):
     """One flood step on a Z-slab with k-halos (k < slab)."""
-    hsdf = _halo_exchange(sdf, k, axis_name, jnp.inf)
-    hseed = _halo_exchange(seed, k, axis_name, 0)
-    psdf = _pad_yx(hsdf, k, jnp.inf)
-    pseed = _pad_yx(hseed, k, 0)
+    pseed = _pad_yx(_halo_exchange(seed, k, axis_name, jnp.int32(-1)),
+                    k, jnp.int32(-1))
 
-    best = sdf
-    best_abs = jnp.abs(sdf)
-    best_seed = seed
-    sign = jnp.where(jnp.signbit(sdf), jnp.float32(-1), jnp.float32(1))
-    mask10 = jnp.int32(0x3FF)
-    for dz, dy, dx in _OFFSETS:
-        zs = slice(k + dz * k - k, k + dz * k - k + slab) if False else None
-        # padded z index: local z i lives at i + k; neighbor at i + k + dz*k
-        nsdf = psdf[k + dz * k : k + dz * k + slab,
-                    k + dy * k : k + dy * k + n,
-                    k + dx * k : k + dx * k + n]
-        nseed = pseed[k + dz * k : k + dz * k + slab,
-                      k + dy * k : k + dy * k + n,
-                      k + dx * k : k + dx * k + n]
-        valid = jnp.isfinite(nsdf)
-        sx = (nseed & mask10).astype(jnp.float32)
-        sy = ((nseed >> 10) & mask10).astype(jnp.float32)
-        sz = ((nseed >> 20) & mask10).astype(jnp.float32)
-        d2 = (px - (origin[0] + sx * vs)) ** 2 + (py - (origin[1] + sy * vs)) ** 2 + (
-            pz - (origin[2] + sz * vs)
-        ) ** 2
-        better = valid & (d2 < best_abs)
-        best = jnp.where(better, sign * d2, best)
-        best_abs = jnp.where(better, d2, best_abs)
-        best_seed = jnp.where(better, nseed, best_seed)
-    return best, best_seed
+    def view(dz, dy, dx):
+        return pseed[k + dz * k : k + dz * k + slab,
+                     k + dy * k : k + dy * k + n,
+                     k + dx * k : k + dx * k + n]
+
+    best_d2 = _seed_d2(seed, origin, vs, px, py, pz)
+    return _minimize(seed, best_d2, view, origin, vs, px, py, pz)[0]
 
 
-def _step_gathered(sdf, seed, k: int, n: int, slab: int, origin, vs,
-                   px, py, pz, axis_name: str):
-    """Flood step for k >= slab: all_gather the full grid, compute local slab."""
-    full_sdf = jax.lax.all_gather(sdf, axis_name, tiled=True)    # (N, N, N)
-    full_seed = jax.lax.all_gather(seed, axis_name, tiled=True)
+def _step_gathered(seed, k: int, n: int, slab: int, origin, vs, px, py, pz,
+                   axis_name: str):
+    """Flood step for k >= slab: all_gather the seed grid, dynamic-slice
+    the local slab's neighbor views."""
+    full = jax.lax.all_gather(seed, axis_name, tiled=True)  # (N, N, N)
+    pseed = jnp.pad(full, k, constant_values=jnp.int32(-1))
     z0 = jax.lax.axis_index(axis_name) * slab
-    psdf = jnp.pad(full_sdf, ((k, k), (k, k), (k, k)), constant_values=jnp.inf)
-    pseed = jnp.pad(full_seed, ((k, k), (k, k), (k, k)), constant_values=0)
 
-    best = sdf
-    best_abs = jnp.abs(sdf)
-    best_seed = seed
-    sign = jnp.where(jnp.signbit(sdf), jnp.float32(-1), jnp.float32(1))
-    mask10 = jnp.int32(0x3FF)
-    for dz, dy, dx in _OFFSETS:
-        zstart = z0 + k + dz * k
-        nsdf = jax.lax.dynamic_slice(psdf, (zstart, k + dy * k, k + dx * k),
-                                     (slab, n, n))
-        nseed = jax.lax.dynamic_slice(pseed, (zstart, k + dy * k, k + dx * k),
-                                      (slab, n, n))
-        valid = jnp.isfinite(nsdf)
-        sx = (nseed & mask10).astype(jnp.float32)
-        sy = ((nseed >> 10) & mask10).astype(jnp.float32)
-        sz = ((nseed >> 20) & mask10).astype(jnp.float32)
-        d2 = (px - (origin[0] + sx * vs)) ** 2 + (py - (origin[1] + sy * vs)) ** 2 + (
-            pz - (origin[2] + sz * vs)
-        ) ** 2
-        better = valid & (d2 < best_abs)
-        best = jnp.where(better, sign * d2, best)
-        best_abs = jnp.where(better, d2, best_abs)
-        best_seed = jnp.where(better, nseed, best_seed)
-    return best, best_seed
+    def view(dz, dy, dx):
+        return jax.lax.dynamic_slice(
+            pseed, (z0 + k + dz * k, k + dy * k, k + dx * k), (slab, n, n)
+        )
+
+    best_d2 = _seed_d2(seed, origin, vs, px, py, pz)
+    return _minimize(seed, best_d2, view, origin, vs, px, py, pz)[0]
 
 
 def _init_local(occ, n: int, slab: int, axis_name: str):
-    """Seed detection on a Z-slab with a 1-voxel halo."""
+    """Seed detection on a Z-slab with a 1-voxel halo; packed seed out."""
     hocc = _halo_exchange(occ, 1, axis_name, False)
     pocc = _pad_yx(hocc, 1, False)
     all_n = jnp.ones((slab, n, n), bool)
@@ -138,18 +113,13 @@ def _init_local(occ, n: int, slab: int, axis_name: str):
         all_n &= pocc[1 + dz : 1 + dz + slab, 1 + dy : 1 + dy + n,
                       1 + dx : 1 + dx + n]
     boundary = occ & ~all_n
-    sdf = jnp.where(
-        boundary, jnp.float32(0),
-        jnp.where(occ, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
-    )
     z0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * slab
     packed = (
         ((jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 0) + z0) << 20)
         | (jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 1) << 10)
         | jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 2)
     )
-    seed = jnp.where(boundary, packed, jnp.int32(0))
-    return sdf, seed
+    return jnp.where(boundary, packed, jnp.int32(-1))
 
 
 def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z"):
@@ -163,20 +133,20 @@ def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z"):
     def fn(occ_slab):
         origin = jnp.asarray(spec.origin, jnp.float32)
         vs = jnp.float32(spec.voxel_size)
-        sdf, seed = _init_local(occ_slab, n, slab, axis_name)
+        seed = _init_local(occ_slab, n, slab, axis_name)
         px, py, pz = _local_coords(n, slab, origin, vs, axis_name)
         k = n // 2
         while k >= 1:
             if k < slab:
-                sdf, seed = _step_local(sdf, seed, k, n, slab, origin, vs,
-                                        px, py, pz, axis_name)
+                seed = _step_local(seed, k, n, slab, origin, vs, px, py, pz,
+                                   axis_name)
             else:
-                sdf, seed = _step_gathered(sdf, seed, k, n, slab, origin, vs,
-                                           px, py, pz, axis_name)
+                seed = _step_gathered(seed, k, n, slab, origin, vs,
+                                      px, py, pz, axis_name)
             k //= 2
-        return sdf
+        sign = jnp.where(occ_slab, jnp.float32(1), jnp.float32(-1))
+        return sign * _seed_d2(seed, origin, vs, px, py, pz)
 
-    other_axes = tuple(a for a in device_mesh.axis_names if a != axis_name)
     in_spec = P(axis_name, None, None)
     return jax.jit(
         jax.shard_map(
