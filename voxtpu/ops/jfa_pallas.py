@@ -107,6 +107,11 @@ def _flood_step_pallas(seed, org, k: int, n: int):
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, n, n), lambda z: (z, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.int32),
+        # 26 live (n, n) intermediates: let Mosaic spill beyond the
+        # default scoped-VMEM budget at n = 512.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=jax.default_backend() != "tpu",
     )(seed, seed, seed, org)
 
