@@ -198,13 +198,23 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
         from voxtpu.models.fit import soft_iou_loss
         from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
 
-        plan = make_soft_plan(mesh, spec)
+        soft_plan = make_soft_plan(mesh, spec)
         target = grid.to_dense().astype(jnp.float32)
+
+        if backend == "pallas":
+            from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
+                                                    soft_voxelize_pallas)
+
+            plan = SoftPallasPlan(soft_plan)
+            fwd = lambda c: soft_voxelize_pallas(c, plan)
+        else:
+            plan = soft_plan
+            fwd = lambda c: soft_voxelize(c, plan)
 
         @_jax.jit
         def fwd_bwd(coords, target):
             def loss(c):
-                return soft_iou_loss(soft_voxelize(c, plan), target)
+                return soft_iou_loss(fwd(c), target)
 
             return _jax.value_and_grad(loss)(coords)
 
@@ -217,7 +227,7 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
             "unit": "Mvox/s",
             "vs_baseline": -1,
         }
-        print(f"# backend=xla n={n} faces={mesh.num_faces} "
+        print(f"# backend={backend} n={n} faces={mesh.num_faces} "
               f"fragments={plan.num_fragments} fwd+bwd={dt*1e3:.3f}ms",
               file=sys.stderr)
     elif op == "csg":

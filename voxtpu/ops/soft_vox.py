@@ -24,7 +24,15 @@ Implementation: the same host-side window bucketing as the hard path
 (`voxtpu.ops.vox.FragmentPlan`), then a fragment -> (cell, X-profile)
 accumulation with `jax.ops.segment_sum` (differentiable; its VJP is a
 gather). O(fragments * N) work — intended for optimization-scale grids
-(N <= 256); the Pallas fused variant is the scaling path.
+(N <= 256); `voxtpu.ops.soft_vox_pallas` is the fused scaling path.
+
+Known non-smoothness (inherent to the winding formulation): a triangle
+whose X-facing flips (n_x crossing 0) flips the SIGN of its whole
+contribution — x_hit diverges and the step saturates, so the limit from
+either side is +/-cov, a knife-edge discontinuity on the measure-zero
+set {n_x = 0}. Meshes with exactly axis-aligned faces (icospheres,
+boxes) sit on it; gradients are well-defined and correct everywhere
+else. Finite-difference checks must use meshes in generic position.
 """
 
 from __future__ import annotations
