@@ -61,32 +61,6 @@ def _corner_coords(n: int, origin, vs):
     return (origin[0] + xx * vs, origin[1] + yy * vs, origin[2] + zz * vs)
 
 
-def jfa_init(occ, origin, vs):
-    """Seed detection (`jfa/sequential.cpp:24-64`): an occupied voxel whose
-    26-neighborhood touches an empty or out-of-grid voxel is a seed
-    (sdf=0, seed=own index); interior occupied -> +inf; empty -> -inf."""
-    n = occ.shape[0]
-    all_n = jnp.ones_like(occ)
-    for dz, dy, dx in _OFFSETS:
-        all_n &= _shift3(occ, dz, dy, dx, False)
-    boundary = occ & ~all_n
-    sdf = jnp.where(
-        boundary,
-        jnp.float32(0),
-        jnp.where(occ, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
-    )
-    # Seed ids pack (z, y, x) in 10-bit fields (supports N <= 1024; the
-    # reference caps packed grids at N % 32 == 0 and benches to 4096 with a
-    # different memory layout — larger N uses the pallas path).
-    packed = (
-        (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0) << 20)
-        | (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1) << 10)
-        | jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 2)
-    )
-    seed = jnp.where(boundary, packed, jnp.int32(0))
-    return sdf, seed
-
-
 _NO_SEED = jnp.int32(-1)
 
 
