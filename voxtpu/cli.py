@@ -123,10 +123,31 @@ def _run_pipeline(args, filenames) -> int:
 
     bm_grid = VoxelGrid.zeros(spec)
 
+    # Per-(mesh, backend) plans are rebuilt every iteration inside the
+    # profiled scope, mirroring the reference's per-call work-queue build
+    # (`vox/tiled.cu:504-547`); planning/processing sub-scopes feed the
+    # stage bar charts (scripts/plot_benchmarks.py).
+    def _vox_profiled(mesh):
+        if backend in ("xla", "pallas"):
+            with ProfilingScope(f"{vox_label}::planning"):
+                if backend == "pallas":
+                    from voxtpu.ops.vox_pallas import PallasVoxPlan
+
+                    plan = PallasVoxPlan(mesh, spec)
+                else:
+                    from voxtpu.ops.vox import FragmentPlan
+
+                    plan = FragmentPlan(mesh, spec)
+            with ProfilingScope(f"{vox_label}::processing") as pp:
+                grid = voxelize(mesh, spec, backend=backend, plan=plan)
+                pp.observe(grid.words)
+            return grid
+        return voxelize(mesh, spec, backend=backend)
+
     for _ in range(iterations):
         for i, mesh in enumerate(meshes):
             with ProfilingScope(f"{vox_label}({os.path.basename(mesh.name)})") as ps:
-                grids[i] = voxelize(mesh, spec, backend=backend)
+                grids[i] = _vox_profiled(mesh)
                 ps.observe(grids[i].words)
 
             if do_export:

@@ -150,11 +150,14 @@ def soft_voxelize(
     return occ
 
 
-def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 2) -> FragmentPlan:
+def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentPlan:
     """FragmentPlan variant that records face indices per bucket so
     vertex coordinates stay differentiable inputs (the plan holds only
     integer routing data). `pad_window` widens raster windows so sigmoid
-    tails and small vertex motions stay covered."""
+    tails and small vertex motions stay covered (1 voxel suffices at the
+    default temperatures — the edge sigmoids saturate within a fraction
+    of a voxel; raise it when optimizing with wide taus, fragment count
+    grows ~quadratically with it)."""
     plan = FragmentPlan.__new__(FragmentPlan)
     plan.spec = spec
     plan.faces_array = jnp.asarray(mesh.faces)
