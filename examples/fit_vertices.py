@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""End-to-end differentiable-voxelization demo: recover perturbed vertices.
+
+Voxelizes a target mesh (hard parity grid), perturbs the vertices, then
+descends the soft-IoU loss of the soft voxelization back toward the
+target — the capability the CUDA reference cannot offer (its parity fill
+has no gradients). Runs on TPU or CPU.
+
+    python examples/fit_vertices.py [--mesh assets/sphere.obj] [--n 48]
+                                    [--steps 100] [--noise 0.02]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="/root/reference/assets/sphere.obj")
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--noise", type=float, default=0.02)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--out", default=None, help="export fitted mesh .obj")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtpu import GridSpec, export_mesh, import_mesh
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.models.fit import VoxelFit
+    from voxtpu.ops.soft_vox import make_soft_plan
+    from voxtpu.ops.vox import voxelize
+
+    mesh = import_mesh(args.mesh)
+    spec = GridSpec.fit(mesh.coords, args.n)
+    target = voxelize(mesh, spec).to_dense().astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    scale = float(np.ptp(mesh.coords, axis=0).max())
+    noisy = mesh.coords + rng.normal(
+        0, args.noise * scale, mesh.coords.shape
+    ).astype(np.float32)
+
+    # Plan windows from the noisy geometry so the raster stays covered.
+    plan = make_soft_plan(
+        Mesh(name="noisy", coords=noisy, faces=mesh.faces,
+             faces_normals=mesh.faces_normals),
+        spec, pad_window=2,
+    )
+    fit = VoxelFit(plan, target, learning_rate=args.lr)
+    state = fit.init(noisy)
+    l0 = float(fit.loss(state.coords))
+    for i in range(args.steps):
+        state, metrics = fit.step(state)
+        if (i + 1) % max(1, args.steps // 10) == 0:
+            print(f"step {i+1:4d}  loss={float(metrics['loss']):.4f}  "
+                  f"|grad|={float(metrics['grad_norm']):.4f}", flush=True)
+
+    # Success metric: hard-occupancy IoU of the fitted mesh vs the target
+    # (vertex L1 is not meaningful — vertices may slide along the surface
+    # without changing the volume the loss optimizes).
+    def hard_iou(coords):
+        m = Mesh(name="m", coords=np.asarray(coords), faces=mesh.faces,
+                 faces_normals=mesh.faces_normals)
+        occ = np.asarray(voxelize(m, spec).to_dense())
+        t = np.asarray(target) > 0.5
+        return (occ & t).sum() / max((occ | t).sum(), 1)
+
+    print(f"soft-IoU loss: {l0:.4f} -> {float(metrics['loss']):.4f}")
+    iou0, iou1 = hard_iou(noisy), hard_iou(state.coords)
+    print(f"hard occupancy IoU vs target: {iou0:.4f} -> {iou1:.4f} "
+          f"({'improved' if iou1 > iou0 else 'NOT improved'})")
+    if args.out:
+        export_mesh(args.out, Mesh(
+            name="fitted", coords=np.asarray(state.coords),
+            faces=mesh.faces, faces_normals=mesh.faces_normals,
+            normals=mesh.normals, colors=mesh.colors,
+        ))
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

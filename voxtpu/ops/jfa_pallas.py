@@ -116,6 +116,52 @@ def _flood_step_pallas(seed, org, k: int, n: int):
     )(seed, seed, seed, org)
 
 
+def _final_kernel(n: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(seed_ref, occ_ref, org_ref, out_ref):
+        z = pl.program_id(0)
+        ox, oy, oz, vs = org_ref[0], org_ref[1], org_ref[2], org_ref[3]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        px = ox + cols.astype(jnp.float32) * vs
+        py = oy + rows.astype(jnp.float32) * vs
+        pz = oz + jnp.float32(z) * vs
+        seed = seed_ref[0]
+        sx = (seed & _MASK10).astype(jnp.float32)
+        sy = ((seed >> 10) & _MASK10).astype(jnp.float32)
+        sz = ((seed >> 20) & _MASK10).astype(jnp.float32)
+        d2 = ((px - (ox + sx * vs)) ** 2
+              + (py - (oy + sy * vs)) ** 2
+              + (pz - (oz + sz * vs)) ** 2)
+        d2 = jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
+        sign = jnp.where(occ_ref[0], jnp.float32(1), jnp.float32(-1))
+        out_ref[0] = sign * d2
+
+    return kernel
+
+
+def _sdf_from_seed_pallas(seed, occ, org, n: int):
+    """Final signed squared distance, one z-plane per grid step (avoids
+    materializing 3D coordinate arrays in HBM at large N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _final_kernel(n),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda z: (z, 0, 0)),
+                  pl.BlockSpec((1, n, n), lambda z: (z, 0, 0)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda z: (z, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(seed, occ, org)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _jfa_pallas(occ, origin, voxel_size, *, n: int):
     origin = jnp.asarray(origin, jnp.float32)
@@ -126,16 +172,55 @@ def _jfa_pallas(occ, origin, voxel_size, *, n: int):
     while k >= 1:
         seed = _flood_step_pallas(seed, org, k, n)
         k //= 2
-    # Final signed squared distance (XLA; one fused pass).
-    from voxtpu.ops.jfa import _corner_coords, _seed_d2
+    return _sdf_from_seed_pallas(seed, occ, org, n)
 
-    px, py, pz = _corner_coords(n, origin, vs)
-    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
-    return sign * _seed_d2(seed, origin, vs, px, py, pz)
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _init_jit(occ, *, n: int):
+    return jfa_init_seed(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def _step_jit(seed, org, *, k: int, n: int):
+    return _flood_step_pallas(seed, org, k, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _final_jit(seed, occ, org, *, n: int):
+    return _sdf_from_seed_pallas(seed, occ, org, n)
+
+
+def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int):
+    """Per-step dispatch for large N: one jit per flood step with the
+    seed buffer donated. The single whole-flood jit OOMs at 1024^3 —
+    XLA's buffer assignment keeps every pallas step's 4 GB output live
+    for the duration of the program instead of ping-ponging two buffers.
+    """
+    import numpy as np
+
+    org = jnp.concatenate(
+        [jnp.asarray(origin, jnp.float32),
+         jnp.asarray(voxel_size, jnp.float32)[None]]
+    ).astype(jnp.float32)
+    seed = _init_jit(occ, n=n)
+    k = n // 2
+    while k >= 1:
+        seed = _step_jit(seed, org, k=k, n=n)
+        k //= 2
+    return _final_jit(seed, occ, org, n=n)
 
 
 def jfa_pallas(occ, spec: GridSpec):
-    """Signed squared distance field via VMEM-tiled Pallas flood steps."""
+    """Signed squared distance field via VMEM-tiled Pallas flood steps.
+
+    N <= 512 runs as one fused jit; N = 1024 dispatches per flood step
+    (the whole-flood jit keeps every step's 4 GB output live — beyond a
+    single 16 GB chip). Grids this size are the intended regime of the
+    Z-sharded multi-chip path (`voxtpu.parallel.sharded_jfa`).
+    """
     if spec.n > 1024:
-        raise ValueError("pallas JFA supports N <= 1024; use the sharded path")
+        raise ValueError("pallas JFA supports N <= 1024 (10-bit packed "
+                         "seeds); use the sharded path")
+    if spec.n >= 1024:
+        return _jfa_pallas_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
     return _jfa_pallas(occ, spec.origin, spec.voxel_size, n=spec.n)

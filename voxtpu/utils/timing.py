@@ -25,12 +25,17 @@ def _sync(value) -> None:
 
 
 def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
-                   chain=None) -> float:
+                   chain=None, repeats: int = 3) -> float:
     """Per-iteration seconds of `fn(*args)` on device.
 
     `fn` must return a pytree; `chain(prev_out, args) -> new args` makes
     successive iterations data-dependent (defaults to re-running on the
     same inputs, which on a single TPU core still serializes).
+
+    The differential measurement repeats `repeats` times and returns the
+    minimum — tunnel jitter only ever inflates a differential sample
+    (and can even drive one to ~0 when the base run absorbs a stall), so
+    the smallest positive sample is the best kernel-time estimate.
     """
     out = fn(*args)
     for _ in range(max(0, warmup - 1)):
@@ -48,6 +53,11 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
         _sync(o)
         return time.perf_counter() - t0
 
-    t_base = run(1)
-    t_long = run(1 + iters)
-    return max((t_long - t_base) / iters, 1e-9)
+    samples = []
+    for _ in range(max(1, repeats)):
+        t_base = run(1)
+        t_long = run(1 + iters)
+        dt = (t_long - t_base) / iters
+        if dt > 1e-7:  # discard jitter-corrupted (~0 or negative) samples
+            samples.append(dt)
+    return min(samples) if samples else 1e-9
