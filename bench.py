@@ -171,14 +171,18 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
     if op == "jfa":
         occ = grid.to_dense()
         if backend == "pallas":
-            from voxtpu.ops.jfa_pallas import _jfa_pallas as run_jfa
-        else:
-            from voxtpu.ops.jfa import jfa_xla as run_jfa
-        origin = jnp.asarray(spec.origin, jnp.float32)
-        vs = jnp.float32(spec.voxel_size)
+            from voxtpu.ops.jfa_pallas import jfa_pallas
 
-        def run(o):
-            return run_jfa(o, origin, vs, n=n)
+            def run(o):
+                return jfa_pallas(o, spec)
+        else:
+            from voxtpu.ops.jfa import jfa_xla
+
+            origin = jnp.asarray(spec.origin, jnp.float32)
+            vs = jnp.float32(spec.voxel_size)
+
+            def run(o):
+                return jfa_xla(o, origin, vs, n=n)
 
         dt = time_device_fn(run, occ, iters=iters)
         passes = n.bit_length()  # log2(n) + 1 k-steps, incl. init

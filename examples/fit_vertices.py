@@ -57,6 +57,7 @@ def main() -> int:
     fit = VoxelFit(plan, target, learning_rate=args.lr)
     state = fit.init(noisy)
     l0 = float(fit.loss(state.coords))
+    metrics = {"loss": l0, "grad_norm": float("nan")}
     for i in range(args.steps):
         state, metrics = fit.step(state)
         if (i + 1) % max(1, args.steps // 10) == 0:

@@ -44,7 +44,6 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
-    from bench import subdivide
     from voxtpu.grids.voxel_grid import GridSpec
     from voxtpu.mesh.mesh import Mesh as TriMesh
     from voxtpu.mesh.obj_io import import_mesh

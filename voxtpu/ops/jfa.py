@@ -132,11 +132,17 @@ def _flood_step_seed(seed, k: int, n: int, origin, vs, px, py, pz):
 def jfa_xla(occ, origin, voxel_size, *, n: int):
     """Full JFA: init + statically unrolled flood over k = N/2 ... 1.
 
+    Requires N <= 1024: seed coordinates are 10-bit packed; larger N
+    would silently corrupt the (z, y, x) fields.
+
     Output contract (== reference `jfa/sequential.cpp`): signed squared
     world-space distance; surface seeds 0, interior +, exterior -,
     unreached interior +inf / exterior -inf (caller-init convention,
     `apps/cli/main.cpp:200`).
     """
+    if n > 1024:
+        raise ValueError("jfa_xla supports N <= 1024 (10-bit packed seeds); "
+                         "use the sharded path for larger grids")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
     seed = jfa_init_seed(occ)

@@ -191,13 +191,13 @@ def _final_jit(seed, occ, org, *, n: int):
 
 
 def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int):
-    """Per-step dispatch for large N: one jit per flood step with the
-    seed buffer donated. The single whole-flood jit OOMs at 1024^3 —
-    XLA's buffer assignment keeps every pallas step's 4 GB output live
-    for the duration of the program instead of ping-ponging two buffers.
+    """Per-step dispatch for large N: one jit per flood step, so buffers
+    free between steps. The single whole-flood jit OOMs at 1024^3 — XLA's
+    buffer assignment keeps every pallas step's 4 GB output live for the
+    duration of the program instead of ping-ponging two buffers. (Buffer
+    donation on the step was tried and reverted: donated inputs abort
+    through the remote-execution tunnel.)
     """
-    import numpy as np
-
     org = jnp.concatenate(
         [jnp.asarray(origin, jnp.float32),
          jnp.asarray(voxel_size, jnp.float32)[None]]

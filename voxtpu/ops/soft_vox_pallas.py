@@ -310,32 +310,19 @@ class SoftPallasPlan:
         order = order[:valid]
         cells_sorted = cells_sorted[:valid]
 
+        from voxtpu.ops.vox_pallas import tile_batches
+
         num_tiles = (n * n) // tc
         tile_of = cells_sorted // tc
         bounds = np.searchsorted(tile_of, np.arange(num_tiles + 1))
         counts = np.diff(bounds)
         active = np.nonzero(counts)[0]
-        batch_tiles, batch_starts, batch_flags = [], [], []
-        for t in active:
-            nb = -(-int(counts[t]) // tb)
-            for i in range(nb):
-                batch_tiles.append(t)
-                batch_starts.append(bounds[t] + i * tb)
-                batch_flags.append(
-                    (FLAG_FIRST if i == 0 else 0)
-                    | (FLAG_LAST if i == nb - 1 else 0)
-                )
-        if not batch_tiles:
-            batch_tiles, batch_starts, batch_flags = [0], [0], [
-                FLAG_FIRST | FLAG_LAST
-            ]
+        batch_tiles, batch_starts, batch_flags, ends, tile_mask, _ = (
+            tile_batches(bounds, tb)
+        )
 
         b = len(batch_tiles)
-        idx = np.asarray(batch_starts, np.int64)[:, None] + np.arange(tb)
-        ends = np.minimum(
-            np.asarray(batch_starts, np.int64) + tb,
-            bounds[np.asarray(batch_tiles) + 1],
-        )
+        idx = batch_starts[:, None] + np.arange(tb)
         in_range = idx < ends[:, None]
         idx_c = np.clip(idx, 0, max(valid - 1, 0))
         self.cells_b = np.where(
@@ -373,10 +360,8 @@ class SoftPallasPlan:
         rank_full = np.concatenate([rank, pad_slots]).astype(np.int32)
         self.rank_full = rank_full
         self.perm_fwd = np.argsort(rank_full, kind="stable").astype(np.int32)
-        self.batch_tile = np.asarray(batch_tiles, np.int32)
-        self.flags = np.asarray(batch_flags, np.int32)
-        tile_mask = np.zeros((num_tiles,), bool)
-        tile_mask[active] = True
+        self.batch_tile = batch_tiles.astype(np.int32)
+        self.flags = batch_flags
         self.tile_mask = tile_mask
         self.num_batches = b
         self.num_fragments = valid

@@ -162,6 +162,42 @@ def _gather_batches(sorted_cells, sorted_xs, starts, ends, *,
     return local.astype(jnp.int32), xvals.astype(jnp.int32)
 
 
+def tile_batches(bounds: np.ndarray, tb: int):
+    """Shared per-tile batch layout (also used by the soft voxelizer).
+
+    Given per-tile fragment ranges `bounds` (num_tiles+1, from a
+    searchsorted over tile-sorted cells) and batch size `tb`, produce the
+    (batch_tile, batch_start, flags, end, tile_mask) arrays: each active
+    tile's fragment run is cut into ceil(count/tb) batches, the first
+    flagged FLAG_FIRST (zero the VMEM accumulator) and the last FLAG_LAST
+    (flush the tile's output block). Falls back to one inert
+    FIRST|LAST batch on tile 0 for an empty fragment set.
+    """
+    counts = np.diff(bounds)
+    active = np.nonzero(counts)[0]
+    batch_tiles, batch_starts, batch_flags = [], [], []
+    for t in active:
+        nb = -(-int(counts[t]) // tb)
+        for i in range(nb):
+            batch_tiles.append(t)
+            batch_starts.append(bounds[t] + i * tb)
+            batch_flags.append(
+                (FLAG_FIRST if i == 0 else 0)
+                | (FLAG_LAST if i == nb - 1 else 0)
+            )
+    if not batch_tiles:
+        batch_tiles, batch_starts, batch_flags = [0], [0], [
+            FLAG_FIRST | FLAG_LAST
+        ]
+    batch_tiles = np.asarray(batch_tiles, np.int64)
+    batch_starts = np.asarray(batch_starts, np.int64)
+    ends = np.minimum(batch_starts + tb, bounds[batch_tiles + 1])
+    tile_mask = np.zeros(len(bounds) - 1, bool)
+    tile_mask[active] = True
+    return (batch_tiles, batch_starts,
+            np.asarray(batch_flags, np.int32), ends, tile_mask, active)
+
+
 class PallasVoxPlan:
     """Sorted-fragment batch layout for one (mesh, grid) pair."""
 
@@ -188,27 +224,13 @@ class PallasVoxPlan:
         probes = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tc
         bounds = np.asarray(jnp.searchsorted(cells, probes))
         valid = int(bounds[-1])
-        counts = np.diff(bounds)
-        active = np.nonzero(counts)[0]
 
-        batch_tiles, batch_starts, batch_flags = [], [], []
-        for t in active:
-            nb = -(-int(counts[t]) // tb)
-            for i in range(nb):
-                batch_tiles.append(t)
-                batch_starts.append(bounds[t] + i * tb)
-                f = (FLAG_FIRST if i == 0 else 0) | (FLAG_LAST if i == nb - 1 else 0)
-                batch_flags.append(f)
-        if not batch_tiles:  # empty mesh: one inert batch writing tile 0
-            batch_tiles, batch_starts, batch_flags = [0], [0], [FLAG_FIRST | FLAG_LAST]
-            valid = 0
-
+        batch_tiles, starts_h, flags, ends_h, tile_mask, _ = tile_batches(
+            bounds, tb
+        )
         b = len(batch_tiles)
-        starts_h = np.asarray(batch_starts, np.int64)
-        # Batch ends: fragment range end of the owning tile, capped at TB.
-        ends_h = np.minimum(starts_h + tb, bounds[np.asarray(batch_tiles) + 1])
         starts = jnp.asarray(starts_h.astype(np.int32))
-        ends = jnp.asarray(ends_h.astype(np.int32))
+        ends = jnp.asarray(np.minimum(ends_h, valid).astype(np.int32))
         local, xvals = _gather_batches(
             cells[:max(valid, 1)], xs[:max(valid, 1)], starts, ends,
             tc=tc, tb=tb,
@@ -216,9 +238,7 @@ class PallasVoxPlan:
         self.local_cells = local.reshape(b, tb_sub, TB_LANE)
         self.xs = xvals.reshape(b, tb_sub, TB_LANE)
         self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)  # (B,)
-        self.flags = jnp.asarray(batch_flags, jnp.int32)       # (B,)
-        tile_mask = np.zeros((num_tiles,), bool)
-        tile_mask[active] = True
+        self.flags = jnp.asarray(flags, jnp.int32)             # (B,)
         self.tile_mask = jnp.asarray(tile_mask)
         self.num_fragments = valid
         self.num_batches = b

@@ -13,7 +13,6 @@ kill its host process.
 
 from __future__ import annotations
 
-import inspect
 import os
 import sys
 import time
@@ -30,11 +29,14 @@ def set_level(name: str) -> None:
 def _emit(level_name: str, level: int, msg: str, *args) -> None:
     if level < _level:
         return
-    frame = inspect.stack()[2]
+    # sys._getframe is O(1); inspect.stack() would materialize the whole
+    # call stack (with source I/O) per log line.
+    frame = sys._getframe(2)
     ts = time.strftime("%H:%M:%S")
     text = msg % args if args else msg
     print(
-        f"[{level_name}] [{ts}] {os.path.basename(frame.filename)}:{frame.lineno}"
+        f"[{level_name}] [{ts}] "
+        f"{os.path.basename(frame.f_code.co_filename)}:{frame.f_lineno}"
         f" — {text}",
         file=sys.stderr,
         flush=True,

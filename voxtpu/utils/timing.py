@@ -60,4 +60,9 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
         dt = (t_long - t_base) / iters
         if dt > 1e-7:  # discard jitter-corrupted (~0 or negative) samples
             samples.append(dt)
-    return min(samples) if samples else 1e-9
+    if not samples:
+        raise RuntimeError(
+            "time_device_fn: every differential sample was jitter-corrupted "
+            "(t_long <= t_base); rerun, or raise iters/repeats"
+        )
+    return min(samples)
