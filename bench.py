@@ -93,10 +93,11 @@ def main() -> int:
         prep_s = time.time() - t0
 
         def run(*args):
-            return _pallas_words(*args, n=spec.n, num_tiles=plan.num_tiles)
+            return _pallas_words(*args, n=spec.n, num_tiles=plan.num_tiles,
+                                 tc=plan.tc, tb_sub=plan.tb_sub, seg=plan.seg)
 
         args = (plan.local_cells, plan.xs, plan.batch_tile, plan.flags,
-                plan.tile_mask)
+                plan.batch_xseg, plan.tile_mask)
     else:
         from voxtpu.ops.vox import (FragmentPlan, fragments_from_plan,
                                     resolve_fragments)

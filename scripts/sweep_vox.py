@@ -58,10 +58,10 @@ def main():
 
         def run(*args):
             return _pallas_words(*args, n=spec.n, num_tiles=plan.num_tiles,
-                                 tc=tc, tb_sub=tb_sub)
+                                 tc=tc, tb_sub=tb_sub, seg=plan.seg)
 
         args = (plan.local_cells, plan.xs, plan.batch_tile, plan.flags,
-                plan.tile_mask)
+                plan.batch_xseg, plan.tile_mask)
         dt = time_device_fn(run, *args, iters=iters)
         gvox = n**3 / dt / 1e9
         print(f"tc={tc} tb={tb_sub * 128}: batches={plan.num_batches} "

@@ -41,3 +41,20 @@ def test_pallas_plan_reuse(sphere_mesh):
     b = np.asarray(voxelize_pallas(sphere_mesh, spec, plan=plan).words)
     np.testing.assert_array_equal(a, b)
     assert plan.num_batches >= 1
+
+
+def test_pallas_multi_segment_matches_xla(sphere_mesh):
+    """Force seg < n so the X-segmented fill + carry path is exercised
+    (at the default seg=512 every test-sized grid is single-segment)."""
+    import jax.numpy as jnp
+
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.ops.vox import voxelize
+    from voxtpu.ops.vox_pallas import PallasVoxPlan, voxelize_pallas
+
+    spec = GridSpec.fit(sphere_mesh.coords, 64)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").to_dense())
+    for seg in (32, 64):
+        plan = PallasVoxPlan(sphere_mesh, spec, seg=seg)
+        got = np.asarray(voxelize_pallas(sphere_mesh, spec, plan=plan).to_dense())
+        np.testing.assert_array_equal(got, ref, err_msg=f"seg={seg}")

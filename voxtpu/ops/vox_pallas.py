@@ -53,52 +53,83 @@ FLAG_FIRST = 1
 FLAG_LAST = 2
 
 
-def _pallas_kernel(n: int, num_words: int, tc: int, tb: int):
+def _pallas_kernel(n: int, num_words: int, tc: int, tb: int, seg: int):
     from jax.experimental import pallas as pl
 
     tb_sub = tb // TB_LANE
 
-    def kernel(batch_tile_ref, flags_ref, cell_ref, x_ref, out_ref, counts):
+    n_seg = n // seg
+
+    def kernel(batch_tile_ref, flags_ref, xseg_ref, cell_ref, x_ref,
+               out_ref, counts):
         b = pl.program_id(0)
         flags = flags_ref[b]
+        xseg = xseg_ref[b]
+        xbase = xseg * seg
 
-        # Per 128-lane panel: onehot (TC, 128) int8 x fill (N, 128) int8,
-        # contracted over the lane dim -> (TC, N) int32 on the MXU. Both
+        # Per 128-lane panel: onehot (TC, 128) int8 x fill (SEG, 128) int8,
+        # contracted over the lane dim -> (TC, SEG) int32 on the MXU. Both
         # matrices are 0/1 so int8 is exact (int8 is the MXU's fastest
         # path); Mosaic cannot reshape lane panels into sublanes, hence
-        # the python loop instead of one fused (TC, TB) @ (TB, N) dot.
+        # the python loop instead of one fused (TC, TB) @ (TB, SEG) dot.
+        # Fragments are batched per (tile, X-segment), so the suffix-fill
+        # matmul spans a fixed SEG columns regardless of N — per-fragment
+        # MXU work stays constant as the grid grows. The fill beyond the
+        # segment is a per-cell parity carry, applied as one masked add.
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
-        x_iota = jax.lax.broadcasted_iota(jnp.int32, (n, TB_LANE), 0)
-        acc = jnp.zeros((tc, n), jnp.int32)
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, (seg, TB_LANE), 0)
+        acc = jnp.zeros((tc, seg), jnp.int32)
+        carry = jnp.zeros((tc, 1), jnp.int32)
         for s in range(tb_sub):
             cells_s = cell_ref[0, s, :]  # (128,) lane vector, -1 = inert
-            xs_s = x_ref[0, s, :]
+            xl_s = x_ref[0, s, :] - xbase
             onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
-            fill_t = (x_iota >= xs_s[None, :]).astype(jnp.int8)  # (N, 128)
+            fill_t = (x_iota >= xl_s[None, :]).astype(jnp.int8)  # (SEG, 128)
             acc += jax.lax.dot_general(
                 onehot, fill_t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+            if n_seg > 1:  # carry only matters past the last segment
+                carry += jnp.sum(onehot.astype(jnp.int32), axis=1,
+                                 keepdims=True)
 
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
             counts[:] = jnp.zeros_like(counts)
 
-        counts[:] += acc
+        # Mosaic cannot dynamic-slice the lane dimension; n_seg is tiny
+        # (<= 8), so branch to a static slice per segment. The suffix
+        # carry beyond the segment is the same per-cell parity for every
+        # later column.
+        for si in range(n_seg):
+            @pl.when(xseg == si)
+            def _(si=si):
+                counts[:, si * seg:(si + 1) * seg] += acc
+                if (si + 1) * seg < n:
+                    counts[:, (si + 1) * seg:] += carry
 
         @pl.when((flags & FLAG_LAST) != 0)
         def _():
-            bits = (counts[:] & 1).astype(jnp.float32)  # (TC, N)
-            # Pack 32 bits/word via two exact f32 matmuls (2^0..2^15 halves).
+            bits = (counts[:] & 1).astype(jnp.bfloat16)  # (TC, N)
+            # Pack 32 bits/word via two exact matmuls (2^0..2^15 halves):
+            # 0/1 bits and power-of-two weights are exact in bf16, the
+            # f32 accumulator holds sums < 2^16 exactly, and bf16 runs
+            # the MXU at twice the f32 rate (this pack is the flop floor
+            # at large N — once per active tile over all N columns).
             x_col = jax.lax.broadcasted_iota(jnp.int32, (n, num_words), 0)
             w_col = jax.lax.broadcasted_iota(jnp.int32, (n, num_words), 1)
             in_word = (x_col // WORD_BITS) == w_col
             bit = x_col % WORD_BITS
+            # where() on bf16 trips a Mosaic relayout bug on the i1 mask
+            # (vector<NxWxi1> replication mismatch); select in f32, then
+            # downcast (exact: the values are powers of two < 2^16).
             w_lo = jnp.where(in_word & (bit < 16),
-                             (1 << jnp.clip(bit, 0, 15)).astype(jnp.float32), 0.0)
+                             (1 << jnp.clip(bit, 0, 15)).astype(jnp.float32),
+                             0.0).astype(jnp.bfloat16)
             w_hi = jnp.where(in_word & (bit >= 16),
-                             (1 << jnp.clip(bit - 16, 0, 15)).astype(jnp.float32), 0.0)
+                             (1 << jnp.clip(bit - 16, 0, 15)).astype(jnp.float32),
+                             0.0).astype(jnp.bfloat16)
             lo = jnp.dot(bits, w_lo, preferred_element_type=jnp.float32)
             hi = jnp.dot(bits, w_hi, preferred_element_type=jnp.float32)
             # Mosaic lacks f32->u32 casts; round-trip through int32.
@@ -112,17 +143,20 @@ def _pallas_kernel(n: int, num_words: int, tc: int, tb: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "num_tiles", "tc", "tb_sub"))
-def _run_pallas(local_cells, xs, batch_tile, flags, *, n: int, num_tiles: int,
-                tc: int = TILE_CELLS, tb_sub: int = TB_SUB):
+                   static_argnames=("n", "num_tiles", "tc", "tb_sub", "seg"))
+def _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg, *,
+                n: int, num_tiles: int,
+                tc: int = TILE_CELLS, tb_sub: int = TB_SUB,
+                seg: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tb = tb_sub * TB_LANE
+    seg = n if seg is None else min(seg, n)
     num_words = n // WORD_BITS
     num_batches = local_cells.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # batch_tile, flags
+        num_scalar_prefetch=3,  # batch_tile, flags, batch_xseg
         grid=(num_batches,),
         in_specs=[
             pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0)),
@@ -130,13 +164,13 @@ def _run_pallas(local_cells, xs, batch_tile, flags, *, n: int, num_tiles: int,
         ],
         out_specs=pl.BlockSpec(
             (1, tc, num_words),
-            lambda b, batch_tile, flags: (batch_tile[b], 0, 0),
+            lambda b, batch_tile, flags, xseg: (batch_tile[b], 0, 0),
         ),
         scratch_shapes=[pltpu.VMEM((tc, n), jnp.int32)],
     )
-    flops = num_batches * 2 * tb * tc * n
+    flops = num_batches * 2 * tb * tc * seg
     return pl.pallas_call(
-        _pallas_kernel(n, num_words, tc, tb),
+        _pallas_kernel(n, num_words, tc, tb, seg),
         out_shape=jax.ShapeDtypeStruct((num_tiles, tc, num_words), jnp.uint32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -144,20 +178,19 @@ def _run_pallas(local_cells, xs, batch_tile, flags, *, n: int, num_tiles: int,
         ),
         # Off-TPU (tests on the CPU mesh) the kernel runs interpreted.
         interpret=jax.default_backend() != "tpu",
-    )(batch_tile, flags, local_cells, xs)
+    )(batch_tile, flags, batch_xseg, local_cells, xs)
 
 
-@functools.partial(jax.jit, static_argnames=("tc", "tb"))
-def _gather_batches(sorted_cells, sorted_xs, starts, ends, *,
-                    tc: int, tb: int):
+@functools.partial(jax.jit, static_argnames=("tb",))
+def _gather_batches(sorted_locals, sorted_xs, starts, ends, *, tb: int):
     """Device-side batch materialization: gather sorted fragments into
     (B, TB) panels with -1 inert lanes (replaces a host gather of MBs —
-    only the tiny per-tile bounds array crosses the tunnel)."""
-    nvalid = sorted_cells.shape[0]
+    only the tiny per-segment bounds array crosses the tunnel)."""
+    nvalid = sorted_locals.shape[0]
     idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
     in_range = idx < ends[:, None]
     idx_c = jnp.clip(idx, 0, max(nvalid - 1, 0))
-    local = jnp.where(in_range, sorted_cells[idx_c] % tc, -1)
+    local = jnp.where(in_range, sorted_locals[idx_c], -1)
     xvals = jnp.where(in_range, sorted_xs[idx_c], 0)
     return local.astype(jnp.int32), xvals.astype(jnp.int32)
 
@@ -199,57 +232,92 @@ def tile_batches(bounds: np.ndarray, tb: int):
 
 
 class PallasVoxPlan:
-    """Sorted-fragment batch layout for one (mesh, grid) pair."""
+    """Sorted-fragment batch layout for one (mesh, grid) pair.
+
+    Fragments are keyed by (YZ tile, X segment of width `seg`): the
+    kernel's suffix-fill matmul then spans a fixed `seg` columns with a
+    per-cell parity carry for everything beyond, keeping per-fragment
+    MXU work constant in N (a full-N fill loses to the reference's
+    work-queue kernel from 2048^3 up — BENCH_NOTES.md)."""
 
     def __init__(self, mesh: Mesh, spec: GridSpec,
                  frag_plan: FragmentPlan | None = None,
-                 fragments=None, tc: int = TILE_CELLS, tb_sub: int = TB_SUB):
+                 fragments=None, tc: int = TILE_CELLS, tb_sub: int = TB_SUB,
+                 seg: int | None = None):
         if spec.n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
         n = spec.n
         tb = tb_sub * TB_LANE
+        # Default: one segment spanning the whole X axis. Measured on a
+        # v5e (BENCH_NOTES.md): splitting into X segments cuts fill
+        # flops but multiplies batch count, and ~1 us/grid-step fixed
+        # cost dominates — segmentation only approaches break-even at
+        # 2048^3 (seg=512, tb_sub=2) and regresses below that.
+        seg = n if seg is None else min(seg, n)
+        n_seg = n // seg
         self.spec = spec
         self.tc = tc
         self.tb_sub = tb_sub
+        self.seg = seg
         if fragments is None:
             if frag_plan is None:
                 frag_plan = FragmentPlan(mesh, spec)
             fragments = fragments_from_plan(frag_plan)
         cells, xs = (jnp.asarray(a) for a in fragments)
-        cells, xs = jax.lax.sort((cells, xs), num_keys=1)
-
         num_tiles = (n * n) // tc
         self.num_tiles = num_tiles
-        # Tiny D2H: per-tile fragment ranges (num_tiles+1 int32s).
-        probes = jnp.arange(num_tiles + 1, dtype=jnp.int32) * tc
-        bounds = np.asarray(jnp.searchsorted(cells, probes))
+        # Composite sort key (tile, xseg); the n*n cell sentinel maps to
+        # key num_tiles * n_seg (xs = 0 there), sorting past every probe.
+        key = (cells // tc) * n_seg + jnp.where(cells < n * n, xs // seg, 0)
+        local = cells % tc
+        key, local, xs = jax.lax.sort((key, local, xs), num_keys=1)
+
+        # Tiny D2H: fragment ranges per (tile, xseg) group.
+        probes = jnp.arange(num_tiles * n_seg + 1, dtype=jnp.int32)
+        bounds = np.asarray(jnp.searchsorted(key, probes))
         valid = int(bounds[-1])
 
-        batch_tiles, starts_h, flags, ends_h, tile_mask, _ = tile_batches(
+        batch_group, starts_h, _, ends_h, group_mask, _ = tile_batches(
             bounds, tb
         )
-        b = len(batch_tiles)
+        b = len(batch_group)
+        batch_tiles = batch_group // n_seg
+        batch_xseg = batch_group % n_seg
+        # FIRST/LAST flags at *tile* granularity (the VMEM accumulator
+        # spans all of a tile's segments).
+        first = np.empty(b, bool)
+        first[0] = True
+        first[1:] = batch_tiles[1:] != batch_tiles[:-1]
+        last = np.empty(b, bool)
+        last[-1] = True
+        last[:-1] = batch_tiles[:-1] != batch_tiles[1:]
+        flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+
         starts = jnp.asarray(starts_h.astype(np.int32))
         ends = jnp.asarray(np.minimum(ends_h, valid).astype(np.int32))
-        local, xvals = _gather_batches(
-            cells[:max(valid, 1)], xs[:max(valid, 1)], starts, ends,
-            tc=tc, tb=tb,
+        local_b, xvals = _gather_batches(
+            local[:max(valid, 1)], xs[:max(valid, 1)], starts, ends, tb=tb,
         )
-        self.local_cells = local.reshape(b, tb_sub, TB_LANE)
+        self.local_cells = local_b.reshape(b, tb_sub, TB_LANE)
         self.xs = xvals.reshape(b, tb_sub, TB_LANE)
-        self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)  # (B,)
-        self.flags = jnp.asarray(flags, jnp.int32)             # (B,)
-        self.tile_mask = jnp.asarray(tile_mask)
+        self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)   # (B,)
+        self.flags = jnp.asarray(flags, jnp.int32)              # (B,)
+        self.batch_xseg = jnp.asarray(batch_xseg, jnp.int32)    # (B,)
+        self.tile_mask = jnp.asarray(
+            group_mask.reshape(num_tiles, n_seg).any(axis=1)
+        )
         self.num_fragments = valid
         self.num_batches = b
 
 
-@functools.partial(jax.jit, static_argnames=("n", "num_tiles", "tc", "tb_sub"))
-def _pallas_words(local_cells, xs, batch_tile, flags, tile_mask, *,
-                  n: int, num_tiles: int, tc: int = TILE_CELLS,
-                  tb_sub: int = TB_SUB):
-    words = _run_pallas(local_cells, xs, batch_tile, flags,
-                        n=n, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub)
+@functools.partial(jax.jit,
+                   static_argnames=("n", "num_tiles", "tc", "tb_sub", "seg"))
+def _pallas_words(local_cells, xs, batch_tile, flags, batch_xseg, tile_mask,
+                  *, n: int, num_tiles: int, tc: int = TILE_CELLS,
+                  tb_sub: int = TB_SUB, seg: int | None = None):
+    words = _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg,
+                        n=n, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
+                        seg=seg)
     # Tiles with no fragments are never visited -> their blocks are
     # uninitialized; mask them to zero.
     words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
@@ -262,8 +330,10 @@ def voxelize_pallas(mesh: Mesh, spec: GridSpec,
     if plan is None or isinstance(plan, FragmentPlan):
         plan = PallasVoxPlan(mesh, spec, frag_plan=plan)
     words = _pallas_words(
-        plan.local_cells, plan.xs, plan.batch_tile, plan.flags, plan.tile_mask,
+        plan.local_cells, plan.xs, plan.batch_tile, plan.flags,
+        plan.batch_xseg, plan.tile_mask,
         n=spec.n, num_tiles=plan.num_tiles, tc=plan.tc, tb_sub=plan.tb_sub,
+        seg=plan.seg,
     )
     return VoxelGrid(
         words=words,
