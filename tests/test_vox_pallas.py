@@ -45,11 +45,7 @@ def test_pallas_plan_reuse(sphere_mesh):
 
 def test_pallas_multi_segment_matches_xla(sphere_mesh):
     """Force seg < n so the X-segmented fill + carry path is exercised
-    (at the default seg=512 every test-sized grid is single-segment)."""
-    import jax.numpy as jnp
-
-    from voxtpu.grids.voxel_grid import GridSpec
-    from voxtpu.ops.vox import voxelize
+    (the default is one whole-axis segment, so tests never hit it)."""
     from voxtpu.ops.vox_pallas import PallasVoxPlan, voxelize_pallas
 
     spec = GridSpec.fit(sphere_mesh.coords, 64)
@@ -58,3 +54,11 @@ def test_pallas_multi_segment_matches_xla(sphere_mesh):
         plan = PallasVoxPlan(sphere_mesh, spec, seg=seg)
         got = np.asarray(voxelize_pallas(sphere_mesh, spec, plan=plan).to_dense())
         np.testing.assert_array_equal(got, ref, err_msg=f"seg={seg}")
+
+
+def test_pallas_seg_must_divide_n(sphere_mesh):
+    from voxtpu.ops.vox_pallas import PallasVoxPlan
+
+    spec = GridSpec.fit(sphere_mesh.coords, 64)
+    with pytest.raises(ValueError, match="must divide"):
+        PallasVoxPlan(sphere_mesh, spec, seg=48)

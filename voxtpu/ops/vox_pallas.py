@@ -79,7 +79,6 @@ def _pallas_kernel(n: int, num_words: int, tc: int, tb: int, seg: int):
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (seg, TB_LANE), 0)
         acc = jnp.zeros((tc, seg), jnp.int32)
-        carry = jnp.zeros((tc, 1), jnp.int32)
         for s in range(tb_sub):
             cells_s = cell_ref[0, s, :]  # (128,) lane vector, -1 = inert
             xl_s = x_ref[0, s, :] - xbase
@@ -90,9 +89,9 @@ def _pallas_kernel(n: int, num_words: int, tc: int, tb: int, seg: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            if n_seg > 1:  # carry only matters past the last segment
-                carry += jnp.sum(onehot.astype(jnp.int32), axis=1,
-                                 keepdims=True)
+        # Every valid fragment has xl in [0, seg), so the accumulator's
+        # last column is exactly the per-cell fragment count = the carry.
+        carry = acc[:, seg - 1:seg]
 
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
@@ -153,6 +152,8 @@ def _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg, *,
 
     tb = tb_sub * TB_LANE
     seg = n if seg is None else min(seg, n)
+    if n % seg != 0:
+        raise ValueError(f"seg={seg} must divide N={n}")
     num_words = n // WORD_BITS
     num_batches = local_cells.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -254,6 +255,8 @@ class PallasVoxPlan:
         # cost dominates — segmentation only approaches break-even at
         # 2048^3 (seg=512, tb_sub=2) and regresses below that.
         seg = n if seg is None else min(seg, n)
+        if n % seg != 0:
+            raise ValueError(f"seg={seg} must divide N={n}")
         n_seg = n // seg
         self.spec = spec
         self.tc = tc
