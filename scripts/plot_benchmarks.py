@@ -51,11 +51,13 @@ def main() -> int:
     csvs = sorted(folder.glob("*.csv"))
     groups = defaultdict(dict)  # op ('vox'|'jfa'|'csg') -> algo -> data
     for f in csvs:
-        main = f.stem.split("_")[-1]
-        algo = "_".join(f.stem.split("_")[:-1]).replace(folder.name + "_", "", 1)
+        op_suffix = f.stem.split("_")[-1]
+        # e.g. "sphere_pallas_vox" -> algo "pallas_vox" (keying by the
+        # op suffix alone would collapse different backends' CSVs).
+        algo = f.stem.replace(folder.name + "_", "", 1)
         for op in ("vox", "jfa", "csg"):
-            if main.endswith(op):
-                groups[op][main] = load_csv(f)
+            if op_suffix.endswith(op):
+                groups[op][algo] = load_csv(f)
 
     for op, algos in groups.items():
         # comparison line plot

@@ -83,7 +83,7 @@ def test_csg_fit_step_improves(two_parts):
     coords_list, opt_state = fit.init([c1, c2])
     l0 = float(fit.loss(coords_list))
     for _ in range(5):
-        coords_list, opt_state, value = fit.step(coords_list, opt_state)
-    l1 = float(value)
+        coords_list, opt_state, metrics = fit.step(coords_list, opt_state)
+    l1 = float(metrics["loss"])
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0, f"loss did not improve: {l0} -> {l1}"

@@ -91,8 +91,6 @@ def main(argv=None) -> int:
 
 
 def _run_pipeline(args, filenames) -> int:
-    import numpy as np
-
     from voxtpu.grids.voxel_grid import GridSpec
     from voxtpu.mesh.grid_to_mesh import (
         voxels_grid_to_mesh,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from voxtpu.models.fit import soft_iou_loss
+from voxtpu.models.fit import make_adam_step, soft_iou_loss
 from voxtpu.ops.csg import soft_csg
 from voxtpu.ops.soft_vox import soft_voxelize
 
@@ -62,16 +62,11 @@ class CSGFit:
             return loss_fn(occ, self.target)
 
         self._loss = loss
+        self._adam_step = make_adam_step(loss, self.optimizer)
 
-        @jax.jit
-        def train_step(coords_list, opt_state):
-            value, grads = jax.value_and_grad(loss)(coords_list)
-            updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                       coords_list)
-            coords_list = optax.apply_updates(coords_list, updates)
-            return coords_list, opt_state, value
-
-        self.step = train_step
+    def step(self, coords_list, opt_state):
+        """One Adam step; returns (coords_list, opt_state, metrics)."""
+        return self._adam_step(coords_list, opt_state)
 
     def init(self, coords_list: Sequence):
         coords_list = [jnp.asarray(c, jnp.float32) for c in coords_list]

@@ -34,6 +34,23 @@ def soft_iou_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - inter / (union + 1e-8)
 
 
+def make_adam_step(loss_fn: Callable, optimizer):
+    """Shared jitted train step over any optax-compatible params pytree:
+    returns (params, opt_state, {loss, grad_norm})."""
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {
+            "loss": value,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    return step
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class FitState:
@@ -75,19 +92,15 @@ class VoxelFit:
             return self._loss_fn(occ, self.target)
 
         self._loss = loss
+        self._adam_step = make_adam_step(loss, self.optimizer)
 
-        def train_step(state: FitState):
-            value, grads = jax.value_and_grad(loss)(state.coords)
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.coords
-            )
-            coords = optax.apply_updates(state.coords, updates)
-            return (
-                FitState(coords=coords, opt_state=opt_state, step=state.step + 1),
-                {"loss": value, "grad_norm": optax.global_norm(grads)},
-            )
-
-        self.step = jax.jit(train_step)
+    def step(self, state: FitState):
+        coords, opt_state, metrics = self._adam_step(state.coords,
+                                                     state.opt_state)
+        return (
+            FitState(coords=coords, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
 
     def init(self, coords) -> FitState:
         coords = jnp.asarray(coords, jnp.float32)

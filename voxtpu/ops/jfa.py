@@ -61,7 +61,9 @@ def _corner_coords(n: int, origin, vs):
     return (origin[0] + xx * vs, origin[1] + yy * vs, origin[2] + zz * vs)
 
 
-_NO_SEED = jnp.int32(-1)
+# Plain int, not jnp.int32(-1): a module-level device array would
+# initialize the JAX backend as an import side effect.
+_NO_SEED = -1
 
 
 def jfa_init_seed(occ):

@@ -221,6 +221,8 @@ def jfa_pallas(occ, spec: GridSpec):
     if spec.n > 1024:
         raise ValueError("pallas JFA supports N <= 1024 (10-bit packed "
                          "seeds); use the sharded path")
-    if spec.n >= 1024:
+    if spec.n > 512:
+        # Above 512 the whole-flood jit's per-step output buffers (XLA
+        # keeps each pallas step's result live) approach chip HBM.
         return _jfa_pallas_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
     return _jfa_pallas(occ, spec.origin, spec.voxel_size, n=spec.n)

@@ -125,6 +125,12 @@ def _init_local(occ, n: int, slab: int, axis_name: str):
 def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z"):
     """Z-sharded JFA over a device mesh; returns the sharded SDF array."""
     n = spec.n
+    if n > 1024:
+        raise ValueError(
+            "jfa_sharded supports N <= 1024: seeds are 10-bit packed "
+            "(z, y, x) int32 fields; larger grids need a wider seed "
+            "encoding (planned: int64 or slab-local coordinates)"
+        )
     dz = device_mesh.shape[axis_name]
     if n % dz != 0:
         raise ValueError(f"N={n} must divide by z axis {dz}")
