@@ -153,7 +153,12 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
     from voxtpu.grids.voxel_grid import VoxelGrid
     from voxtpu.utils.timing import time_device_fn
 
-    if os.environ.get("BENCH_OCC", "ball") == "mesh" or op == "softvox":
+    # Ball occupancy by default for every op: the target grid is just a
+    # loss operand for softvox, and the XLA voxelizer does not compile
+    # within budget at 512^3+ on the tunneled chip (BENCH_NOTES.md).
+    if os.environ.get("BENCH_OCC", "ball") == "mesh" or (
+        op == "softvox" and n <= 256
+    ):
         from voxtpu.ops.vox import voxelize
 
         grid = voxelize(mesh, spec, backend="xla")
