@@ -103,3 +103,53 @@ def test_grid_requires_multiple_of_32():
     spec = GridSpec(n=33, origin=(0, 0, 0), voxel_size=1.0)
     with pytest.raises(ValueError):
         spec.num_words
+
+
+def test_obj_ragged_vertex_rows(tmp_path):
+    """Mixed colored/uncolored vertex lines and 4-component 'v x y z w'
+    must parse (coords kept, colors only when every row has RGB)."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "ragged.obj"
+    p.write_text(
+        "v 0 0 0\n"
+        "v 1 0 0 0.5 0.2 0.1\n"
+        "v 0 1 0 0.5\n"          # 4-component weight form, not a color
+        "f 1 2 3\n"
+    )
+    m = import_mesh(p, use_native=False)
+    assert m.num_vertices == 3
+    assert m.colors.shape[0] == 0  # not all rows carry RGB -> no colors
+    assert m.num_faces == 1
+
+
+def test_obj_mixed_face_forms(tmp_path):
+    """Files mixing 'f v v v' and 'f v//vn ...' forms must not scramble
+    indices (probe-only detection would misalign the reshape)."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "mixed.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "vn 0 0 1\n"
+        "f 1//1 2//1 3//1\n"
+        "f 2 3 4\n"
+    )
+    m = import_mesh(p, use_native=False)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [1, 2, 3]])
+    np.testing.assert_array_equal(m.faces_normals[0], [0, 0, 0])
+
+
+def test_native_obj_vertex_weight_not_color(tmp_path):
+    """'v x y z w' (4th component) must not flag the mesh as colored."""
+    pytest.importorskip("ctypes")
+    from voxtpu.native import native_import_mesh
+
+    p = tmp_path / "w.obj"
+    p.write_text("v 0 0 0 0.5\nv 1 0 0 0.5\nv 0 1 0 0.5\nf 1 2 3\n")
+    try:
+        m = native_import_mesh(str(p))
+    except ImportError:
+        pytest.skip("native lib unavailable")
+    assert m.num_vertices == 3
+    assert m.colors.shape[0] == 0

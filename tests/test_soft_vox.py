@@ -87,3 +87,31 @@ def test_gradients_nonzero_and_finite(sphere_mesh):
     g = np.asarray(jax.grad(loss)(jnp.asarray(sphere_mesh.coords)))
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_soft_plan_covers_full_span_triangles():
+    """A triangle spanning the whole YZ extent must rasterize the grid's
+    last row/column too (regression: window width capped at N while the
+    start shifted down by the padding dropped row N-1)."""
+    from voxtpu.mesh.mesh import Mesh
+
+    n = 16
+    # Two triangles forming a quad over the full YZ plane at x = 0.5.
+    coords = np.array(
+        [[0.5, 0.0, 0.0], [0.5, 1.0, 0.0], [0.5, 1.0, 1.0], [0.5, 0.0, 1.0]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = Mesh(name="quad", coords=coords, faces=faces, faces_normals=faces)
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / n)
+    plan = make_soft_plan(mesh, spec)
+    occ = np.asarray(
+        soft_voxelize(jnp.asarray(coords), plan,
+                      tau_edge_frac=0.05, tau_x_frac=0.05, clip=False)
+    )
+    # Every YZ column on the quad's filled side (x < 0.5 for this
+    # orientation) must be covered — including the grid's LAST Y and Z
+    # rows, which the capped window used to drop.
+    assert np.abs(occ[n - 1, n - 1, 0]) > 0.5, occ[n - 1, n - 1, 0]
+    assert np.abs(occ[0, n - 1, 0]) > 0.5
+    assert np.abs(occ[n - 1, 0, 0]) > 0.5

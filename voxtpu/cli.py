@@ -29,7 +29,6 @@ hierarchical sub-scopes use ``Parent::Child`` labels.
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 

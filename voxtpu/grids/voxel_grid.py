@@ -106,9 +106,16 @@ class VoxelGrid:
         """Unpack to a boolean (N, N, N) grid in [z, y, x] order."""
         return unpack_bits(self.words)
 
-    def count(self) -> jnp.ndarray:
-        """Number of set voxels (popcount over all words)."""
-        return jnp.sum(_popcount32(self.words), dtype=jnp.int64)
+    def count(self) -> int:
+        """Number of set voxels (popcount over all words).
+
+        Summed per Z-plane in int32 on device (each plane holds < 2^31
+        bits for any practical N), then in int64 on host — a direct
+        int64 device sum silently truncates to int32 when x64 is off.
+        """
+        per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
+                            dtype=jnp.int32)
+        return int(np.asarray(per_plane, dtype=np.int64).sum())
 
     def spec(self) -> GridSpec:
         return GridSpec(

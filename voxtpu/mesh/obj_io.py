@@ -38,9 +38,15 @@ def _parse_float_block(lines: list[str], width_choices=(3, 6)) -> np.ndarray:
     for w in width_choices:
         if vals.size % w == 0 and len(lines) * w == vals.size:
             return vals.reshape(-1, w)
-    # Ragged lines: parse row by row (rare; tolerate trailing junk).
-    rows = [np.fromstring("", sep=" ")]  # pragma: no cover
-    raise ValueError("inconsistent OBJ float row widths")
+    # Ragged rows (e.g. a file mixing "v x y z" and "v x y z r g b", or
+    # 4-component "v x y z w"): parse per line, keep coords, and keep
+    # colors only when EVERY row carries all three channels.
+    rows = [ln.split() for ln in lines]
+    coords = np.array([r[:3] for r in rows], np.float32)
+    if all(len(r) >= 6 for r in rows):
+        rgb = np.array([r[3:6] for r in rows], np.float32)
+        return np.concatenate([coords, rgb], axis=1)
+    return coords
 
 
 def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
@@ -88,24 +94,50 @@ def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
     faces = np.zeros((0, 3), np.int32)
     faces_normals = np.zeros((0, 3), np.int32)
     if f_lines:
-        # Normalize "a//b", "a/b/c", "a/b", "a" to whitespace-separated ints.
-        text = " \n".join(f_lines)
-        probe = f_lines[0].split()[0]
-        n_slash = probe.count("/")
-        toks = text.replace("//", " ").replace("/", " ").split()
-        vals = np.array(toks, dtype=np.int64)
-        if n_slash == 0:
-            vi = vals.reshape(-1, 3)
-            ni = vi
-        elif n_slash == 1:
-            pairs = vals.reshape(-1, 6)
-            vi = pairs[:, 0::2]
-            ni = vi
-        else:  # v//vn (2 ints after collapse) or v/vt/vn (3 ints)
-            per_vert = vals.size // (len(f_lines) * 3)
-            tri = vals.reshape(-1, 3 * per_vert)
-            vi = tri[:, 0::per_vert]
-            ni = tri[:, per_vert - 1 :: per_vert]
+        # Fast path: every face line uses the same "a", "a/b", "a//c" or
+        # "a/b/c" form; normalize to whitespace-separated ints.
+        forms = {tok.count("/") * 10 + ("//" in tok)
+                 for ln in f_lines for tok in ln.split()[:1]}
+        uniform = len(forms) == 1
+        vals = None
+        if uniform:
+            text = " \n".join(f_lines)
+            probe = f_lines[0].split()[0]
+            n_slash = probe.count("/")
+            toks = text.replace("//", " ").replace("/", " ").split()
+            vals = np.array(toks, dtype=np.int64)
+            per_line_ok = (
+                vals.size % (len(f_lines) * 3) == 0 if n_slash else True
+            )
+            uniform = per_line_ok
+        if uniform:
+            if n_slash == 0:
+                vi = vals.reshape(-1, 3)
+                ni = vi
+            elif n_slash == 1:
+                pairs = vals.reshape(-1, 6)
+                vi = pairs[:, 0::2]
+                ni = vi
+            else:  # v//vn (2 ints after collapse) or v/vt/vn (3 ints)
+                per_vert = vals.size // (len(f_lines) * 3)
+                tri = vals.reshape(-1, 3 * per_vert)
+                vi = tri[:, 0::per_vert]
+                ni = tri[:, per_vert - 1 :: per_vert]
+        else:
+            # Mixed forms within one file: parse per token (slower but
+            # correct; the probe-only detection would misalign indices).
+            vi_rows, ni_rows = [], []
+            for ln in f_lines:
+                vs, ns = [], []
+                for tok in ln.split()[:3]:
+                    parts = tok.split("/")
+                    vs.append(int(parts[0]))
+                    ns.append(int(parts[2]) if len(parts) == 3 and parts[2]
+                              else int(parts[0]))
+                vi_rows.append(vs)
+                ni_rows.append(ns)
+            vi = np.asarray(vi_rows, np.int64)
+            ni = np.asarray(ni_rows, np.int64)
         faces = (vi - 1).astype(np.int32)
         faces_normals = (ni - 1).astype(np.int32)
 

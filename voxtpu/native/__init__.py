@@ -147,6 +147,9 @@ def native_voxelize(mesh, spec) -> np.ndarray:
 
 
 def native_jfa(occ: np.ndarray, spec) -> np.ndarray:
+    if spec.n > 1024:
+        raise ValueError("native JFA supports N <= 1024 (10-bit packed "
+                         "seed coordinates)")
     lib = _load()
     n = spec.n
     occ8 = np.ascontiguousarray(occ, np.uint8)

@@ -87,17 +87,23 @@ int vox_import_obj(const char* path, VoxMesh* out) {
       coords.push_back(x);
       coords.push_back(y);
       coords.push_back(z);
-      // optional vertex-color extension (mesh_io.cpp:57-59 reads r g b)
+      // Optional vertex-color extension (mesh_io.cpp:57-59 reads r g b).
+      // Only treat the tail as colors when THREE numeric tokens parse:
+      // a lone 4th value ("v x y z w") or a trailing comment is not RGB.
       const char* save = q;
-      while (*q == ' ' || *q == '\t') ++q;
-      if (*q && *q != '\n' && *q != '\r') {
-        q = save;
-        float r = parse_float(q), g = parse_float(q), b = parse_float(q);
+      char* e1;
+      char* e2;
+      char* e3;
+      float r = strtof(q, &e1);
+      float g = strtof(e1, &e2);
+      float b = strtof(e2, &e3);
+      if (e1 != q && e2 != e1 && e3 != e2) {
         colors.push_back(r);
         colors.push_back(g);
         colors.push_back(b);
         any_color = true;
       } else {
+        q = save;
         colors.push_back(1.f);
         colors.push_back(1.f);
         colors.push_back(1.f);

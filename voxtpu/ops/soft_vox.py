@@ -165,7 +165,12 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     import numpy as np
 
     v0, v1, v2, start_y, start_z, w = _triangle_windows(mesh, spec)
-    w = np.minimum(w + pad_window, spec.n)
+    # Window width may exceed N by the padding: starts are shifted down
+    # by pad//2, and capping w at N would drop the grid's last rows for
+    # full-span triangles (out-of-grid candidates are masked away by the
+    # in_grid test in _soft_fragments, so over-wide windows are safe).
+    w_cap = spec.n + pad_window
+    w = np.minimum(w + pad_window, w_cap)
     start_y = np.maximum(start_y - pad_window // 2, -pad_window)
     start_z = np.maximum(start_z - pad_window // 2, -pad_window)
     plan.buckets = []
@@ -181,7 +186,7 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
             pad = _next_pow2(idx.size)
             plan.buckets.append(
                 (
-                    int(min(wclass, spec.n)),
+                    int(min(wclass, w_cap)),
                     None, None, None,
                     jnp.asarray(_pad_rows(start_y[idx], pad, fill=spec.n)),
                     jnp.asarray(_pad_rows(start_z[idx], pad, fill=spec.n)),
@@ -190,6 +195,6 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
             )
         lo, wclass = wclass, wclass * 2
     plan.num_fragments = sum(
-        b[4].shape[0] * min(b[0], spec.n) ** 2 for b in plan.buckets
+        b[4].shape[0] * min(b[0], w_cap) ** 2 for b in plan.buckets
     )
     return plan

@@ -34,7 +34,6 @@ don't differentiate); the differentiable path is `voxtpu.ops.soft_vox`.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +81,6 @@ class FragmentPlan:
         v0, v1, v2, start_y, start_z, w = _triangle_windows(mesh, spec)
         self.spec = spec
         self.buckets = []  # list of (W, v0, v1, v2, start_y, start_z)
-        sizes = []
         wmax = 1
         while wmax < max(int(w.max(initial=1)), 1):
             wmax *= 2
@@ -105,7 +103,6 @@ class FragmentPlan:
                         jnp.asarray(_pad_rows(start_z[idx], pad, fill=spec.n)),
                     )
                 )
-                sizes.append(idx.size)
             lo = wclass
             wclass *= 2
         self.num_fragments = sum(

@@ -110,7 +110,10 @@ def voxelize_sharded(mesh: TriMesh, spec: GridSpec, device_mesh: Mesh,
     def shard_fn(*bucket_arrays):
         # bucket_arrays: flattened (v0, v1, v2, sy, sz) per bucket with a
         # leading length-1 shard axis inside shard_map.
-        all_cells, all_xs = [], []
+        # Sentinel fragment keeps shapes valid for meshes with zero
+        # buckets (mirrors fragments_from_plan's empty-plan fallback).
+        all_cells = [jnp.full((1,), n * n, jnp.int32)]
+        all_xs = [jnp.zeros((1,), jnp.int32)]
         for b in range(num_buckets):
             window = stacked[b][0]
             v0, v1, v2, sy, sz = (a[0] for a in bucket_arrays[b * 5:(b + 1) * 5])
