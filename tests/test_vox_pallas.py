@@ -62,3 +62,15 @@ def test_pallas_seg_must_divide_n(sphere_mesh):
     spec = GridSpec.fit(sphere_mesh.coords, 64)
     with pytest.raises(ValueError, match="must divide"):
         PallasVoxPlan(sphere_mesh, spec, seg=48)
+
+
+def test_workqueue_matches_xla(sphere_mesh):
+    """Streamed work-queue kernel (interpret mode) vs the XLA backend."""
+    from voxtpu.ops.vox_pallas_wq import WorkQueueVoxPlan, voxelize_wq
+
+    spec = GridSpec.fit(sphere_mesh.coords, 64)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").to_dense())
+    for seg in (64, 32):
+        plan = WorkQueueVoxPlan(sphere_mesh, spec, seg=seg)
+        got = np.asarray(voxelize_wq(sphere_mesh, spec, plan=plan).to_dense())
+        np.testing.assert_array_equal(got, ref, err_msg=f"seg={seg}")
