@@ -153,3 +153,85 @@ def test_native_obj_vertex_weight_not_color(tmp_path):
         pytest.skip("native lib unavailable")
     assert m.num_vertices == 3
     assert m.colors.shape[0] == 0
+
+
+def test_obj_ngon_raises(tmp_path):
+    """Quads/ngons must fail loudly, not silently drop geometry."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    with pytest.raises(ValueError, match="triangular"):
+        import_mesh(p, use_native=False)
+
+
+def test_obj_intra_line_mixed_forms(tmp_path):
+    """A face line mixing forms INTERNALLY ('f 1/1 2/2/2 3/3/3') must
+    parse via the per-token path, not misalign the uniform reshape."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "intra.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "f 1/1 2/2/2 3/3/3\n"
+    )
+    m = import_mesh(p, use_native=False)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+    np.testing.assert_array_equal(m.faces_normals, [[0, 1, 2]])
+
+
+def test_obj_malformed_vertex_row_raises(tmp_path):
+    """A vertex row with < 3 components raises a descriptive error."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "short.obj"
+    p.write_text("v 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    with pytest.raises(ValueError, match="expected at least 3"):
+        import_mesh(p, use_native=False)
+
+
+def test_obj_junk_color_tokens_kept_as_coords(tmp_path):
+    """Rows whose trailing tokens are non-numeric (inline comments) keep
+    coordinates and drop the bogus colors instead of crashing."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "junk.obj"
+    p.write_text(
+        "v 0 0 0 # corner junk junk\n"
+        "v 1 0 0 # corner junk junk\n"
+        "v 0 1 0 # corner junk junk\n"
+        "f 1 2 3\n"
+    )
+    m = import_mesh(p, use_native=False)
+    assert m.num_vertices == 3
+    assert m.colors.shape[0] == 0
+
+
+def test_count_traced_matches_host_count():
+    import jax
+    import jax.numpy as jnp
+
+    occ = np.zeros((32, 32, 32), bool)
+    occ[3:17, 4:20, 5:31] = True
+    vg = VoxelGrid.from_dense(jnp.asarray(occ), GridSpec(32, (0, 0, 0), 1.0))
+    assert vg.count() == int(occ.sum())
+    assert int(jax.jit(lambda g: g.count_traced())(vg)) == int(occ.sum())
+
+
+def test_time_device_fn_degrades_on_corrupted_samples(monkeypatch):
+    """All-jitter samples warn and return a best-effort value instead of
+    aborting a bench sweep."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from voxtpu.utils import timing
+
+    monkeypatch.setattr(timing.time, "perf_counter", lambda: 42.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dt = timing.time_device_fn(lambda x: x + 1, jnp.ones(4), iters=2,
+                                   repeats=2)
+    assert dt == pytest.approx(1e-9)
+    assert any("best-effort" in str(x.message) for x in w)

@@ -115,3 +115,47 @@ def test_soft_plan_covers_full_span_triangles():
     assert np.abs(occ[n - 1, n - 1, 0]) > 0.5, occ[n - 1, n - 1, 0]
     assert np.abs(occ[0, n - 1, 0]) > 0.5
     assert np.abs(occ[n - 1, 0, 0]) > 0.5
+
+
+def test_drift_guard_refreshes_plan(sphere_mesh):
+    """A large-LR fit must refresh its plan when vertices drift past the
+    pad window, keeping coverage (VoxelFit staleness guard)."""
+    from voxtpu.models.fit import VoxelFit
+
+    n = 32
+    spec = GridSpec.fit(sphere_mesh.coords, n)
+    target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(
+        jnp.float32)
+    plan = make_soft_plan(sphere_mesh, spec, pad_window=1)
+    # LR of 1.5 voxels/step drifts past the pad window almost immediately.
+    fit = VoxelFit(plan, target, learning_rate=1.5 * spec.voxel_size,
+                   refresh_every=2)
+    state = fit.init(sphere_mesh.coords)
+    for _ in range(6):
+        state, metrics = fit.step(state)
+    assert fit.refresh_count >= 1
+    # After every auto-refresh the recorded drift is relative to the NEW
+    # plan, so it must sit inside the guarded envelope again.
+    assert float(metrics["max_drift_vox"]) < 4.0
+    # Coverage sanity: the refreshed plan still rasterizes the moved mesh
+    # (a stale plan would silently lose fragments and zero the grid).
+    occ = fit.forward(state.coords)
+    assert float(jnp.sum(occ)) > 0.0
+
+
+def test_drift_guard_manual_refresh(sphere_mesh):
+    from voxtpu.models.fit import VoxelFit
+
+    n = 32
+    spec = GridSpec.fit(sphere_mesh.coords, n)
+    target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(
+        jnp.float32)
+    plan = make_soft_plan(sphere_mesh, spec)
+    fit = VoxelFit(plan, target, refresh_every=0)
+    state = fit.init(sphere_mesh.coords)
+    assert not fit.maybe_refresh_plan(state)          # no drift yet
+    moved = state.coords + 2.0 * spec.voxel_size      # 2 voxels > pad/2
+    state2 = type(state)(coords=moved, opt_state=state.opt_state,
+                         step=state.step)
+    assert fit.maybe_refresh_plan(state2)
+    assert float(fit.drift_voxels(moved)) == 0.0

@@ -15,7 +15,7 @@ filenames    input meshes (positional or -i)
 -p           CSG op 0=void 1=union 2=intersection 3=difference
 -e           export phase OBJs into out/
 -s           compute SDF (JFA) on the folded grid
--b           kernel block-size hint (pallas tile rows; default 32)
+-b           pallas vox tile rows (TILE_CELLS; default: kernel's 128)
 -m           benchmark iterations (>1 enables benchmark mode: only
              mesh[0] is voxelized each iteration and CSG-folded into a
              scratch grid, mirroring `apps/cli/main.cpp:89-188`)
@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--operation", type=int, default=0, choices=list(CSG_OPS))
     p.add_argument("-e", "--export", action="store_true")
     p.add_argument("-s", "--sdf", action="store_true")
-    p.add_argument("-b", "--block-size", type=int, default=32)
+    p.add_argument("-b", "--block-size", type=int, default=None,
+                   help="pallas vox tile rows (TILE_CELLS; multiple of 16, "
+                        "must divide N^2; default: kernel default 128)")
     p.add_argument("-m", "--benchmark", type=int, default=1,
                    help="iterations; >1 enables benchmark mode")
     p.add_argument("--out-dir", default="out")
@@ -68,7 +70,7 @@ def main(argv=None) -> int:
     if not filenames:
         print("Need [input file]", file=sys.stderr)
         return 1
-    if args.block_size % 16 != 0:
+    if args.block_size is not None and args.block_size % 16 != 0:
         print("Thread per voxel must be a multiple of 16", file=sys.stderr)
         return 1
 
@@ -128,9 +130,12 @@ def _run_pipeline(args, filenames) -> int:
         if backend in ("xla", "pallas"):
             with ProfilingScope(f"{vox_label}::planning"):
                 if backend == "pallas":
-                    from voxtpu.ops.vox_pallas import PallasVoxPlan
+                    from voxtpu.ops.vox_pallas import TILE_CELLS, PallasVoxPlan
 
-                    plan = PallasVoxPlan(mesh, spec)
+                    # -b sets the kernel tile rows (the reference's block
+                    # size flag, `apps/cli/main.cpp:60`).
+                    tc = args.block_size or TILE_CELLS
+                    plan = PallasVoxPlan(mesh, spec, tc=tc)
                 else:
                     from voxtpu.ops.vox import FragmentPlan
 

@@ -107,7 +107,9 @@ class VoxelGrid:
         return unpack_bits(self.words)
 
     def count(self) -> int:
-        """Number of set voxels (popcount over all words).
+        """Number of set voxels (popcount over all words). Host-only:
+        forces a device sync and returns a Python int — use
+        :meth:`count_traced` inside jitted code.
 
         Summed per Z-plane in int32 on device (each plane holds < 2^31
         bits for any practical N), then in int64 on host — a direct
@@ -116,6 +118,16 @@ class VoxelGrid:
         per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
                             dtype=jnp.int32)
         return int(np.asarray(per_plane, dtype=np.int64).sum())
+
+    def count_traced(self) -> jnp.ndarray:
+        """Traceable set-voxel count as a float32 scalar (usable under
+        `jax.jit`, unlike :meth:`count`). Exact while the total fits
+        float32's 2^24 integer range per accumulation step: per-plane
+        int32 popcount sums are exact for any N, and their float32 sum
+        is exact up to ~16.7M-voxel planes (N <= 4096)."""
+        per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
+                            dtype=jnp.int32)
+        return jnp.sum(per_plane.astype(jnp.float32))
 
     def spec(self) -> GridSpec:
         return GridSpec(

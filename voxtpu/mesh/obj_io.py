@@ -34,17 +34,33 @@ def _parse_float_block(lines: list[str], width_choices=(3, 6)) -> np.ndarray:
     if not lines:
         return np.zeros((0, 3), np.float32)
     tokens = " ".join(lines).split()
-    vals = np.array(tokens, dtype=np.float32)
-    for w in width_choices:
-        if vals.size % w == 0 and len(lines) * w == vals.size:
-            return vals.reshape(-1, w)
+    try:
+        vals = np.array(tokens, dtype=np.float32)
+    except ValueError:
+        vals = None  # non-numeric tokens somewhere: per-row fallback
+    if vals is not None:
+        for w in width_choices:
+            if vals.size % w == 0 and len(lines) * w == vals.size:
+                return vals.reshape(-1, w)
     # Ragged rows (e.g. a file mixing "v x y z" and "v x y z r g b", or
     # 4-component "v x y z w"): parse per line, keep coords, and keep
-    # colors only when EVERY row carries all three channels.
+    # colors only when EVERY row carries three numeric channels.
     rows = [ln.split() for ln in lines]
-    coords = np.array([r[:3] for r in rows], np.float32)
+    bad = next((i for i, r in enumerate(rows) if len(r) < 3), None)
+    if bad is not None:
+        raise ValueError(
+            f"OBJ float row {bad + 1} has {len(rows[bad])} component(s); "
+            "expected at least 3 (x y z)"
+        )
+    try:
+        coords = np.array([r[:3] for r in rows], np.float32)
+    except ValueError as e:
+        raise ValueError(f"non-numeric OBJ vertex/normal component: {e}") from None
     if all(len(r) >= 6 for r in rows):
-        rgb = np.array([r[3:6] for r in rows], np.float32)
+        try:
+            rgb = np.array([r[3:6] for r in rows], np.float32)
+        except ValueError:
+            return coords  # trailing tokens are not colors (e.g. comments)
         return np.concatenate([coords, rgb], axis=1)
     return coords
 
@@ -95,9 +111,11 @@ def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
     faces_normals = np.zeros((0, 3), np.int32)
     if f_lines:
         # Fast path: every face line uses the same "a", "a/b", "a//c" or
-        # "a/b/c" form; normalize to whitespace-separated ints.
+        # "a/b/c" form over EVERY vertex token (a probe of only the first
+        # token could pass lines mixing forms internally and silently
+        # misalign all indices); normalize to whitespace-separated ints.
         forms = {tok.count("/") * 10 + ("//" in tok)
-                 for ln in f_lines for tok in ln.split()[:1]}
+                 for ln in f_lines for tok in ln.split()}
         uniform = len(forms) == 1
         vals = None
         if uniform:
@@ -106,10 +124,11 @@ def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
             n_slash = probe.count("/")
             toks = text.replace("//", " ").replace("/", " ").split()
             vals = np.array(toks, dtype=np.int64)
-            per_line_ok = (
-                vals.size % (len(f_lines) * 3) == 0 if n_slash else True
+            # Exact triangular size: 3 vertices x (1, 2 or 3) ints each.
+            ints_per_vert = {0: 1, 1: 2}.get(
+                n_slash, 2 if "//" in probe else 3
             )
-            uniform = per_line_ok
+            uniform = vals.size == len(f_lines) * 3 * ints_per_vert
         if uniform:
             if n_slash == 0:
                 vi = vals.reshape(-1, 3)
@@ -127,9 +146,16 @@ def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
             # Mixed forms within one file: parse per token (slower but
             # correct; the probe-only detection would misalign indices).
             vi_rows, ni_rows = [], []
-            for ln in f_lines:
+            for lineno, ln in enumerate(f_lines, 1):
+                toks = ln.split()
+                if len(toks) != 3:
+                    raise ValueError(
+                        f"face {lineno} has {len(toks)} vertices; only "
+                        "triangular faces are supported (triangulate "
+                        "quads/ngons before import)"
+                    )
                 vs, ns = [], []
-                for tok in ln.split()[:3]:
+                for tok in toks:
                     parts = tok.split("/")
                     vs.append(int(parts[0]))
                     ns.append(int(parts[2]) if len(parts) == 3 and parts[2]

@@ -67,7 +67,17 @@ class FitState:
 
 
 class VoxelFit:
-    """Adam-based vertex fitting of a template mesh to a target grid."""
+    """Adam-based vertex fitting of a template mesh to a target grid.
+
+    Plan staleness guard: the soft plan's raster windows only cover
+    vertex motion up to the plan's pad window; beyond that, coverage
+    silently erodes (`voxtpu.ops.soft_vox.make_soft_plan`). `step()`
+    checks drift every `refresh_every` steps (the check is one scalar
+    device read) and rebuilds the plan from the current coordinates when
+    max displacement exceeds ``drift_limit_frac * pad_window`` voxels.
+    Pass ``refresh_every=0`` to manage refreshes manually via
+    :meth:`maybe_refresh_plan`.
+    """
 
     def __init__(
         self,
@@ -77,13 +87,23 @@ class VoxelFit:
         tau_edge_frac: float = 0.5,
         tau_x_frac: float = 0.5,
         loss_fn: Callable = soft_iou_loss,
+        refresh_every: int = 8,
+        drift_limit_frac: float = 0.5,
     ):
         self.plan = plan
         self.target = jnp.asarray(target_occ, jnp.float32)
         self.optimizer = optax.adam(learning_rate)
         self._tau = (tau_edge_frac, tau_x_frac)
         self._loss_fn = loss_fn
+        self.refresh_every = refresh_every
+        self.drift_limit_vox = drift_limit_frac * getattr(plan, "pad_window", 1)
+        self.refresh_count = 0
+        self._steps_seen = 0
+        pc = getattr(plan, "plan_coords", None)
+        self._plan_coords = None if pc is None else jnp.asarray(pc)
+        self._rebuild_step()
 
+    def _rebuild_step(self):
         def loss(coords):
             occ = soft_voxelize(
                 coords, self.plan,
@@ -94,9 +114,32 @@ class VoxelFit:
         self._loss = loss
         self._adam_step = make_adam_step(loss, self.optimizer)
 
+    def drift_voxels(self, coords) -> jnp.ndarray:
+        """Max vertex displacement since the plan was built, in voxels."""
+        if self._plan_coords is None:
+            return jnp.float32(0.0)
+        return (jnp.max(jnp.abs(coords - self._plan_coords))
+                / jnp.float32(self.plan.spec.voxel_size))
+
+    def maybe_refresh_plan(self, state: FitState, force: bool = False) -> bool:
+        """Rebuild the soft plan if vertices drifted past the pad window."""
+        if not force and float(self.drift_voxels(state.coords)) <= self.drift_limit_vox:
+            return False
+        from voxtpu.ops.soft_vox import refresh_soft_plan
+
+        self.plan = refresh_soft_plan(self.plan, state.coords)
+        self._plan_coords = jnp.asarray(state.coords)
+        self.refresh_count += 1
+        self._rebuild_step()
+        return True
+
     def step(self, state: FitState):
+        self._steps_seen += 1
+        if self.refresh_every and self._steps_seen % self.refresh_every == 0:
+            self.maybe_refresh_plan(state)
         coords, opt_state, metrics = self._adam_step(state.coords,
                                                      state.opt_state)
+        metrics["max_drift_vox"] = self.drift_voxels(coords)
         return (
             FitState(coords=coords, opt_state=opt_state, step=state.step + 1),
             metrics,
@@ -104,6 +147,10 @@ class VoxelFit:
 
     def init(self, coords) -> FitState:
         coords = jnp.asarray(coords, jnp.float32)
+        if self._plan_coords is None:
+            # Plans built before the drift guard don't record their build
+            # coordinates; treat the fit's start point as the reference.
+            self._plan_coords = coords
         return FitState(
             coords=coords,
             opt_state=self.optimizer.init(coords),

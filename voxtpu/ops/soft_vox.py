@@ -197,4 +197,25 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     plan.num_fragments = sum(
         b[4].shape[0] * min(b[0], w_cap) ** 2 for b in plan.buckets
     )
+    plan.pad_window = pad_window
+    plan.plan_coords = np.asarray(mesh.coords, np.float32)
     return plan
+
+
+def refresh_soft_plan(plan: FragmentPlan, coords) -> FragmentPlan:
+    """Rebuild a soft plan's raster windows for moved vertices.
+
+    The bucket windows are geometry-dependent: once any vertex drifts
+    further than the plan's pad window, fragments fall outside their
+    raster windows and coverage silently erodes. This rebuilds the same
+    plan (same spec / faces / pad) from the current coordinates;
+    `VoxelFit.maybe_refresh_plan` calls it automatically."""
+    import numpy as np
+
+    from voxtpu.mesh.mesh import Mesh
+
+    faces = np.asarray(plan.faces_array)
+    mesh = Mesh(name="refresh", coords=np.asarray(coords, np.float32),
+                faces=faces, faces_normals=faces)
+    return make_soft_plan(mesh, plan.spec,
+                          pad_window=getattr(plan, "pad_window", 1))

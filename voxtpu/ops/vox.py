@@ -183,34 +183,43 @@ def resolve_fragments(cells, x_entry, *, n: int):
 
     occupancy_word[c, w] = XOR over fragments f in cell c of
     ``suffix_mask(x_entry_f, w)``.
+
+    Word-event formulation: each fragment's suffix mask decomposes into
+    an in-word part (``0xFFFFFFFF << bit`` at its own word) and a full
+    flip of every later word. One sort by (cell, word), one XOR scan of
+    the in-word masks, and per-(cell, word) fragment counts give both —
+    O(F log F + N^3/32) with no per-word python unroll (the previous
+    16-scans-over-F formulation blew the XLA compile budget at 512^3).
+
+    N <= 2048: the composite (cell, word) probe index must fit int32.
     """
     num_words = n // WORD_BITS
-    order_cells, order_x = jax.lax.sort((cells, x_entry), num_keys=1)
+    if n * n * num_words >= 2**31:
+        raise ValueError("xla resolve_fragments supports N <= 2048 "
+                         "(int32 composite (cell, word) index)")
+    x32 = x_entry.astype(jnp.int32)
+    wf = jnp.minimum(x32 // WORD_BITS, num_words - 1)
+    bf = x32 % WORD_BITS
+    order_cells, order_w, order_b = jax.lax.sort((cells, wf, bf), num_keys=2)
+    mask_own = jnp.uint32(0xFFFFFFFF) << order_b.astype(jnp.uint32)
 
-    # Per-cell fragment ranges via binary search over sorted keys.
-    probes = jnp.arange(n * n + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(order_cells, probes)  # (N*N + 1,)
-    starts, ends = bounds[:-1], bounds[1:]
+    # Per-(cell, word) fragment ranges via one binary search over the
+    # composite key. Sentinel fragments (cell == n*n) sort to composite
+    # keys >= n*n*num_words — past every probe, so they contribute to
+    # neither the in-word XOR nor the carry counts.
+    cw = order_cells * num_words + order_w
+    probes = jnp.arange(n * n * num_words + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(cw, probes).astype(jnp.int32)
 
-    grid_words = []
-    x32 = order_x.astype(jnp.int32)
-    for w in range(num_words):
-        s = x32 - WORD_BITS * w
-        mask = jnp.where(
-            s <= 0,
-            jnp.uint32(0xFFFFFFFF),
-            jnp.where(
-                s >= WORD_BITS,
-                jnp.uint32(0),
-                jnp.uint32(0xFFFFFFFF) << jnp.clip(s, 0, WORD_BITS - 1).astype(jnp.uint32),
-            ),
-        )
-        scan = jax.lax.associative_scan(jnp.bitwise_xor, mask)  # inclusive
-        scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])  # P(i)=xor[0..i)
-        word_c = scan0[ends] ^ scan0[starts]  # (N*N,)
-        grid_words.append(word_c)
+    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_own)  # inclusive
+    scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
+    inword = (scan0[bounds[1:]] ^ scan0[bounds[:-1]]).reshape(-1, num_words)
 
-    words = jnp.stack(grid_words, axis=-1)  # (N*N, num_words)
+    # Carry parity: word q of cell c flips once per fragment with
+    # w_f < q, i.e. bounds[c*W + q] - bounds[c*W] fragments.
+    b2 = bounds[:-1].reshape(-1, num_words)
+    carry_odd = ((b2 - b2[:, :1]) & 1).astype(jnp.uint32)
+    words = inword ^ (carry_odd * jnp.uint32(0xFFFFFFFF))
     return words.reshape(n, n, num_words)
 
 

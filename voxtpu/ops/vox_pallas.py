@@ -248,6 +248,11 @@ class PallasVoxPlan:
         if spec.n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
         n = spec.n
+        if tc <= 0 or (n * n) % tc != 0:
+            raise ValueError(
+                f"tc={tc} must be positive and divide N^2={n * n} "
+                "(tiles are TC consecutive YZ cells)"
+            )
         tb = tb_sub * TB_LANE
         # Default: one segment spanning the whole X axis. Measured on a
         # v5e (BENCH_NOTES.md): splitting into X segments cuts fill

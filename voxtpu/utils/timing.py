@@ -53,16 +53,27 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
         _sync(o)
         return time.perf_counter() - t0
 
-    samples = []
+    samples, raw = [], []
     for _ in range(max(1, repeats)):
         t_base = run(1)
         t_long = run(1 + iters)
         dt = (t_long - t_base) / iters
+        raw.append(dt)
         if dt > 1e-7:  # discard jitter-corrupted (~0 or negative) samples
             samples.append(dt)
     if not samples:
-        raise RuntimeError(
-            "time_device_fn: every differential sample was jitter-corrupted "
-            "(t_long <= t_base); rerun, or raise iters/repeats"
+        # Either tunnel jitter corrupted every run, or the kernel is
+        # genuinely sub-100ns (tiny word ops at small N with large iters).
+        # Degrade to the best-effort estimate instead of aborting a sweep.
+        import warnings
+
+        best = max(max(raw), 1e-9)
+        warnings.warn(
+            "time_device_fn: every differential sample was <= 1e-7 s "
+            f"(raw: {[f'{d:.2e}' for d in raw]}); returning the best-effort "
+            f"{best:.2e} s — rerun or raise iters if this is jitter",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        return best
     return min(samples)
