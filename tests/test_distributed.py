@@ -1,0 +1,109 @@
+"""Multi-host bootstrap: 2 separate processes, one global 8-device mesh.
+
+Each subprocess runs 4 virtual CPU devices and joins a
+`jax.distributed` process group over localhost; the Z-sharded JFA then
+executes over the 2-process global mesh and every process's local
+shards must match the single-process result. This is the CPU stand-in
+for a 2-host TPU slice (SURVEY.md §5: the reference has no distributed
+backend at all; `jax.distributed.initialize` is its TPU-native
+replacement).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.ops.jfa import jfa_xla
+from voxtpu.parallel.distributed import (global_from_local, global_mesh,
+                                         init_distributed, local_from_global)
+from voxtpu.parallel.sharded_jfa import jfa_sharded
+
+port, pid = sys.argv[1], int(sys.argv[2])
+idx, count = init_distributed(f"localhost:{port}", 2, pid)
+assert (idx, count) == (pid, 2), (idx, count)
+assert jax.device_count() == 8, jax.device_count()
+assert len(jax.local_devices()) == 4
+
+n = 32
+spec = GridSpec(n=n, origin=(0.5, 0.0, -1.0), voxel_size=1.0 / n)
+zz, yy, xx = np.indices((n, n, n))
+c = (n - 1) / 2
+occ = ((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 <= (n * 0.35) ** 2)
+
+mesh = global_mesh(("d", "z"), (1, 8))
+# Data ingest: each process contributes only its half of the grid.
+half = occ[pid * (n // 2):(pid + 1) * (n // 2)]
+gocc = global_from_local(half, mesh, P("z", None, None))
+assert gocc.shape == (n, n, n)
+
+sdf = jfa_sharded(gocc, spec, mesh, encoding="wide")
+
+# Every process checks its local shards against the (replicated)
+# single-device flood.
+expected = np.asarray(jfa_xla(occ, spec.origin, spec.voxel_size, n=n,
+                              encoding="wide"))
+shards = local_from_global(sdf)
+assert len(shards) == 4, len(shards)
+for index, data in shards:
+    np.testing.assert_allclose(data, expected[index], rtol=1e-6, atol=0)
+
+# And the packed encoding over the same group.
+sdf_p = jfa_sharded(gocc, spec, mesh, encoding="packed")
+expected_p = np.asarray(jfa_xla(occ, spec.origin, spec.voxel_size, n=n,
+                                encoding="packed"))
+for index, data in local_from_global(sdf_p):
+    np.testing.assert_allclose(data, expected_p[index], rtol=1e-6, atol=0)
+
+print(f"WORKER{pid} OK")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh_jfa(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER{pid} OK" in out

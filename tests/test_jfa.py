@@ -99,3 +99,79 @@ def test_jfa_accuracy_vs_bruteforce():
     exact = _brute_force_sdf(occ, spec)
     mismatch = np.abs(got - exact) > 1e-5
     assert mismatch.mean() < 0.01
+
+
+def test_wide_encoding_matches_packed():
+    """The (hi, lo) wide seed encoding (N > 1024 path) must agree with
+    the packed path. Wide SELECTS by exact integer voxel distance
+    (packed selects by float32 world distance), so genuinely tied or
+    1-ulp-apart seeds may resolve differently — the resulting d2 values
+    then differ only at float32 rounding level."""
+    occ = _ball_occ(32)
+    spec = GridSpec(n=32, origin=(0.125, -0.5, 2.0), voxel_size=1.0 / 32)
+    packed = np.asarray(jfa(occ, spec, backend="xla", encoding="packed"))
+    wide = np.asarray(jfa(occ, spec, backend="xla", encoding="wide"))
+    np.testing.assert_allclose(wide, packed, rtol=1e-5, atol=0)
+
+
+def test_wide_encoding_random_matches_oracle():
+    rng = np.random.default_rng(3)
+    n = 16
+    occ = rng.random((n, n, n)) < 0.2
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / n)
+    ref = jfa_ref(occ, spec)
+    got = np.asarray(jfa(occ, spec, backend="xla", encoding="wide"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
+def test_wide_fields_hold_large_coordinates():
+    """Unit check of the 16-bit field arithmetic at coordinates beyond
+    the packed encoding's 10-bit range (z, y > 1023)."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.jfa import _seed_d2_wide
+
+    z, y, x = 2047, 1531, 1789
+    hi = jnp.full((1,), (z << 16) | y, jnp.int32)
+    lo = jnp.full((1,), x, jnp.int32)
+    origin = jnp.zeros(3, jnp.float32)
+    vs = jnp.float32(0.5)
+    # probe voxel at the world origin -> d2 = vs^2 * (x^2 + y^2 + z^2)
+    d2 = _seed_d2_wide(hi, lo, origin, vs,
+                       jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+    expect = 0.25 * (x * x + y * y + z * z)
+    np.testing.assert_allclose(np.asarray(d2), [expect], rtol=1e-6)
+    # sentinel still reads +inf
+    d2s = _seed_d2_wide(jnp.full((1,), -1, jnp.int32), lo, origin, vs,
+                        jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+    assert np.isposinf(np.asarray(d2s)).all()
+
+
+def test_packed_raises_beyond_1024_wide_does_not_cap():
+    import jax.numpy as jnp
+
+    from voxtpu.ops.jfa import jfa_xla
+
+    occ = jnp.zeros((8, 8, 8), bool)
+    with pytest.raises(ValueError, match="10-bit"):
+        jfa_xla(occ, (0, 0, 0), 1.0, n=2048, encoding="packed")
+
+
+def test_stepped_wide_matches_fused():
+    """Per-step dispatch (the large-N memory regime) must equal the
+    single-jit wide flood."""
+    from voxtpu.ops.jfa import jfa_xla_stepped
+
+    occ = _ball_occ(32)
+    spec = GridSpec(n=32, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 32)
+    fused = np.asarray(jfa(occ, spec, backend="xla", encoding="wide"))
+    stepped = np.asarray(
+        jfa_xla_stepped(jnp_occ(occ), spec.origin, spec.voxel_size, n=32)
+    )
+    np.testing.assert_array_equal(stepped, fused)
+
+
+def jnp_occ(occ):
+    import jax.numpy as jnp
+
+    return jnp.asarray(occ)

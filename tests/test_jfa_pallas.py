@@ -33,8 +33,21 @@ def test_pallas_jfa_matches_oracle_random():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
 
 
-def test_pallas_jfa_size_cap():
-    # 10-bit packed seeds cap the pallas path at N = 1024.
+def test_pallas_jfa_delegates_beyond_1024(monkeypatch):
+    """N > 1024 exceeds both the packed encoding and a single chip's
+    HBM; the pallas backend must delegate to the stepped wide XLA flood
+    instead of raising (the old hard cap is gone)."""
+    import voxtpu.ops.jfa as jfa_mod
+
+    called = {}
+
+    def fake_stepped(occ, origin, voxel_size, *, n):
+        called["n"] = n
+        return "delegated"
+
+    monkeypatch.setattr(jfa_mod, "jfa_xla_stepped", fake_stepped)
     spec = GridSpec(n=2048, origin=(0, 0, 0), voxel_size=1.0)
-    with pytest.raises(ValueError):
-        jfa(np.zeros((8, 8, 8), bool), spec, backend="pallas")
+    from voxtpu.ops.jfa_pallas import jfa_pallas
+
+    assert jfa_pallas(np.zeros((8, 8, 8), bool), spec) == "delegated"
+    assert called["n"] == 2048

@@ -39,7 +39,7 @@ def test_sharded_jfa_matches_single(shape):
     spec = GridSpec(n=n, origin=(0.5, 0.0, -1.0), voxel_size=1.0 / n)
     single = np.asarray(jfa(jnp.asarray(occ), spec, backend="xla"))
     sharded = np.asarray(jfa_sharded(jnp.asarray(occ), spec, _mesh(*shape)))
-    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=0)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-12)
 
 
 def test_sharded_fit_step_improves(sphere_mesh):
@@ -83,3 +83,22 @@ def test_sharded_fit_matches_unsharded_loss(sphere_mesh):
     occ = soft_voxelize(jnp.asarray(sphere_mesh.coords), plan)
     single_loss = float(soft_iou_loss(occ, target))
     assert abs(sharded_loss - single_loss) < 1e-4
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_jfa_wide_matches_single(shape):
+    """Wide (hi, lo) encoding — the N > 1024 path — must match the
+    single-device wide flood exactly, including seeds that cross device
+    slabs (global-Z fields need no halo re-basing)."""
+    from voxtpu.parallel.sharded_jfa import jfa_sharded
+
+    n = 32
+    zz, yy, xx = np.indices((n, n, n))
+    c = (n - 1) / 2
+    occ = (zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 <= (n * 0.35) ** 2
+    spec = GridSpec(n=n, origin=(0.5, 0.0, -1.0), voxel_size=1.0 / n)
+    single = np.asarray(jfa(jnp.asarray(occ), spec, backend="xla",
+                            encoding="wide"))
+    sharded = np.asarray(jfa_sharded(jnp.asarray(occ), spec, _mesh(*shape),
+                                     encoding="wide"))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-12)

@@ -147,9 +147,9 @@ def native_voxelize(mesh, spec) -> np.ndarray:
 
 
 def native_jfa(occ: np.ndarray, spec) -> np.ndarray:
-    if spec.n > 1024:
-        raise ValueError("native JFA supports N <= 1024 (10-bit packed "
-                         "seed coordinates)")
+    if spec.n > (1 << 21):
+        raise ValueError("native JFA seeds pack 21-bit coordinate fields "
+                         "(N <= 2^21); host memory is the practical limit")
     lib = _load()
     n = spec.n
     occ8 = np.ascontiguousarray(occ, np.uint8)

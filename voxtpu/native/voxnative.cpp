@@ -300,7 +300,9 @@ int vox_jfa(const std::uint8_t* occ, std::int32_t n, const float* origin,
   const float ox = origin[0], oy = origin[1], oz = origin[2];
   const float vs = voxel_size;
   const float INF = INFINITY;
-  std::vector<std::int32_t> seed(total, 0), seed2(total, 0);
+  // 21-bit (z, y, x) fields in an int64 seed: N up to 2^21 — memory,
+  // not the encoding, is the practical limit (reference jfa/naive.cu:160).
+  std::vector<std::int64_t> seed(total, 0), seed2(total, 0);
   std::vector<float> sdf(total), sdf2(total);
 
   auto at = [n](std::int64_t z, std::int64_t y, std::int64_t x) {
@@ -329,7 +331,7 @@ int vox_jfa(const std::uint8_t* occ, std::int32_t n, const float* origin,
             }
         if (found) {
           sdf[i] = 0.f;
-          seed[i] = (z << 20) | (y << 10) | x;
+          seed[i] = ((std::int64_t)z << 42) | ((std::int64_t)y << 21) | x;
         } else {
           sdf[i] = INF;
         }
@@ -346,7 +348,7 @@ int vox_jfa(const std::uint8_t* occ, std::int32_t n, const float* origin,
           float best = sdf[i];
           float babs = fabsf(best);
           float sign = std::signbit(best) ? -1.f : 1.f;
-          std::int32_t bseed = seed[i];
+          std::int64_t bseed = seed[i];
           float px = ox + x * vs, py = oy + y * vs, pz = oz + z * vs;
           for (int dz = -1; dz <= 1; ++dz)
             for (int dy = -1; dy <= 1; ++dy)
@@ -359,10 +361,10 @@ int vox_jfa(const std::uint8_t* occ, std::int32_t n, const float* origin,
                 std::int64_t j = at(zz, yy, xx);
                 float s = sdf[j];
                 if (!(fabsf(s) < INF)) continue;
-                std::int32_t sj = seed[j];
-                float wx = ox + (float)(sj & 0x3FF) * vs;
-                float wy = oy + (float)((sj >> 10) & 0x3FF) * vs;
-                float wz = oz + (float)((sj >> 20) & 0x3FF) * vs;
+                std::int64_t sj = seed[j];
+                float wx = ox + (float)(sj & 0x1FFFFF) * vs;
+                float wy = oy + (float)((sj >> 21) & 0x1FFFFF) * vs;
+                float wz = oz + (float)((sj >> 42) & 0x1FFFFF) * vs;
                 float d2 = (px - wx) * (px - wx) + (py - wy) * (py - wy) +
                            (pz - wz) * (pz - wz);
                 if (d2 < babs) {

@@ -66,6 +66,15 @@ def _corner_coords(n: int, origin, vs):
 _NO_SEED = -1
 
 
+def _boundary_mask(occ):
+    """Occupied voxels with >= 1 empty or out-of-grid 26-neighbor
+    (reference seed rule, `jfa/sequential.cpp:24-64`)."""
+    all_n = jnp.ones_like(occ)
+    for dz, dy, dx in _OFFSETS:
+        all_n &= _shift3(occ, dz, dy, dx, False)
+    return occ & ~all_n
+
+
 def jfa_init_seed(occ):
     """Seed detection returning the flood state as ONE packed int32 seed
     grid: 10-bit (z, y, x) fields for seeds, -1 where no seed is known.
@@ -75,12 +84,12 @@ def jfa_init_seed(occ):
     the *smallest possible state*: the sdf value is recomputable from
     the seed (8 flops) and does not travel between steps; validity is
     seed >= 0 (d2 of the -1 sentinel is forced to +inf).
+
+    10-bit fields cap this encoding at N = 1024; `jfa_init_seed_wide`
+    is the N <= 32768 variant (two int32 grids, 2x the HBM traffic).
     """
     n = occ.shape[0]
-    all_n = jnp.ones_like(occ)
-    for dz, dy, dx in _OFFSETS:
-        all_n &= _shift3(occ, dz, dy, dx, False)
-    boundary = occ & ~all_n
+    boundary = _boundary_mask(occ)
     packed = (
         (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0) << 20)
         | (jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1) << 10)
@@ -103,6 +112,108 @@ def _seed_d2(seed, origin, vs, px, py, pz):
         + (pz - (origin[2] + sz * vs)) ** 2
     )
     return jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
+
+
+# ---------------------------------------------------------------------------
+# Wide seed encoding (N <= 16384): (hi, lo) = ((z << 16) | y, x)
+# ---------------------------------------------------------------------------
+#
+# 10-bit packing caps the single-int32 state at N = 1024. For larger
+# grids (whose memory wall is the sharded path's regime) the seed is a
+# PAIR of int32 grids: hi = (z << 16) | y with hi = -1 as the no-seed
+# sentinel, lo = x. Same HBM-minimal philosophy — the sdf still never
+# travels between steps — at exactly 2x the packed traffic. 16-bit
+# fields hold global coordinates directly, so the sharded path needs no
+# halo re-basing when seeds cross device boundaries.
+#
+# CRITICAL — selection must be exactly reproducible: the state is two
+# arrays, and XLA freely *rematerializes* the selection chain once per
+# consumer fusion. If the winner were chosen by float32 world-space
+# distance, re-running the same expression under a different fusion can
+# contract FMAs differently, flip a near-tie `<`, and pick hi from seed
+# A but lo from seed B — a "chimera" seed that exists nowhere (observed
+# on XLA:CPU: ~1.6% of bunny@64 voxels ended closer-than-possible; an
+# `optimization_barrier` on the mask does NOT stop the remat). The fix
+# is structural: flood comparisons use INTEGER voxel-space squared
+# distances (exact, deterministic under any recomputation; fits int32
+# for N <= 16384 since 3*(N-1)^2 < 2^31), and the reference's float32
+# world-space d2 is computed once from the final seed in the output
+# pass, where no selection remains.
+
+_MASK16 = 0xFFFF
+_D2I_SENTINEL = 2**31 - 1  # int32 "+inf" for the no-seed state
+
+
+def jfa_init_seed_wide(occ, z0=0):
+    """Wide-encoding seed init. `z0` offsets the Z iota (sharded slabs
+    store GLOBAL z; the caller passes axis_index * slab)."""
+    shape = occ.shape
+    boundary = _boundary_mask(occ)
+    zz = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + jnp.asarray(z0, jnp.int32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    hi = jnp.where(boundary, (zz << 16) | yy, _NO_SEED)
+    lo = jnp.where(boundary, xx, 0)
+    return hi, lo
+
+
+def _seed_d2_wide(hi, lo, origin, vs, px, py, pz):
+    """Squared world distance voxel -> wide seed; +inf for hi < 0.
+    Float32, reference convention — OUTPUT pass only, never selection."""
+    sx = lo.astype(jnp.float32)
+    sy = (hi & _MASK16).astype(jnp.float32)
+    sz = ((hi >> 16) & 0x7FFF).astype(jnp.float32)
+    d2 = (
+        (px - (origin[0] + sx * vs)) ** 2
+        + (py - (origin[1] + sy * vs)) ** 2
+        + (pz - (origin[2] + sz * vs)) ** 2
+    )
+    return jnp.where(hi < 0, jnp.float32(jnp.inf), d2)
+
+
+def _int_coords(shape, z0=0):
+    """Integer voxel coordinates (zz, yy, xx); z offset for Z-slabs."""
+    zz = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + jnp.asarray(z0, jnp.int32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return zz, yy, xx
+
+
+def _seed_d2i_wide(hi, lo, zz, yy, xx):
+    """EXACT integer voxel-space squared distance (selection metric).
+    Sentinel reads +inf; its garbage-field arithmetic may wrap, but the
+    wrapped value is discarded by the where."""
+    dx = xx - lo
+    dy = yy - (hi & _MASK16)
+    dz = zz - ((hi >> 16) & 0x7FFF)
+    d2 = dx * dx + dy * dy + dz * dz
+    return jnp.where(hi < 0, jnp.int32(_D2I_SENTINEL), d2)
+
+
+def _flood_step_seed_wide(hi, lo, k: int, n: int, zz, yy, xx):
+    """One JFA pass over the wide (hi, lo) state. Same neighbor order
+    and strict-< tie-breaking as the packed step, but the comparison is
+    the exact integer metric (see the chimera note above)."""
+    phi = jnp.pad(hi, k, constant_values=_NO_SEED)
+    plo = jnp.pad(lo, k, constant_values=0)
+
+    def view(p, dz, dy, dx):
+        return p[
+            k + dz * k : k + dz * k + n,
+            k + dy * k : k + dy * k + n,
+            k + dx * k : k + dx * k + n,
+        ]
+
+    best_d2 = _seed_d2i_wide(hi, lo, zz, yy, xx)
+    for dz, dy, dx in _OFFSETS:
+        nhi = view(phi, dz, dy, dx)
+        nlo = view(plo, dz, dy, dx)
+        d2 = _seed_d2i_wide(nhi, nlo, zz, yy, xx)
+        better = d2 < best_d2
+        best_d2 = jnp.where(better, d2, best_d2)
+        hi = jnp.where(better, nhi, hi)
+        lo = jnp.where(better, nlo, lo)
+    return hi, lo
 
 
 def _flood_step_seed(seed, k: int, n: int, origin, vs, px, py, pz):
@@ -130,38 +241,90 @@ def _flood_step_seed(seed, k: int, n: int, origin, vs, px, py, pz):
     return seed
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def jfa_xla(occ, origin, voxel_size, *, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "encoding"))
+def jfa_xla(occ, origin, voxel_size, *, n: int, encoding: str = "auto"):
     """Full JFA: init + statically unrolled flood over k = N/2 ... 1.
 
-    Requires N <= 1024: seed coordinates are 10-bit packed; larger N
-    would silently corrupt the (z, y, x) fields.
+    encoding: "packed" (one 10-bit-field int32 grid, N <= 1024, the
+    HBM-minimal fast layout), "wide" ((hi, lo) int32 pair, N <= 32768,
+    2x traffic), or "auto" (packed where it fits). Like the reference
+    (`jfa/naive.cu:160-174`), the only remaining limit is device memory.
 
     Output contract (== reference `jfa/sequential.cpp`): signed squared
     world-space distance; surface seeds 0, interior +, exterior -,
     unreached interior +inf / exterior -inf (caller-init convention,
     `apps/cli/main.cpp:200`).
     """
-    if n > 1024:
-        raise ValueError("jfa_xla supports N <= 1024 (10-bit packed seeds); "
-                         "use the sharded path for larger grids")
+    if encoding == "auto":
+        encoding = "packed" if n <= 1024 else "wide"
+    if encoding == "packed" and n > 1024:
+        raise ValueError("packed seeds are 10-bit fields (N <= 1024); "
+                         "use encoding='wide' or 'auto'")
+    if n > 16384:
+        raise ValueError("wide seeds compare exact int32 voxel distances "
+                         "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
-    seed = jfa_init_seed(occ)
     px, py, pz = _corner_coords(n, origin, vs)
+    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
+    if encoding == "wide":
+        hi, lo = jfa_init_seed_wide(occ)
+        zz, yy, xx = _int_coords((n, n, n))
+        k = n // 2
+        while k >= 1:
+            hi, lo = _flood_step_seed_wide(hi, lo, k, n, zz, yy, xx)
+            k //= 2
+        return sign * _seed_d2_wide(hi, lo, origin, vs, px, py, pz)
+    seed = jfa_init_seed(occ)
     k = n // 2
     while k >= 1:
         seed = _flood_step_seed(seed, k, n, origin, vs, px, py, pz)
         k //= 2
-    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
     return sign * _seed_d2(seed, origin, vs, px, py, pz)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _init_wide_jit(occ, *, n: int):
+    return jfa_init_seed_wide(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def _step_wide_jit(hi, lo, *, k: int, n: int):
+    zz, yy, xx = _int_coords((n, n, n))
+    return _flood_step_seed_wide(hi, lo, k, n, zz, yy, xx)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _final_wide_jit(hi, lo, occ, origin, vs, *, n: int):
+    px, py, pz = _corner_coords(n, origin, vs)
+    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
+    return sign * _seed_d2_wide(hi, lo, origin, vs, px, py, pz)
+
+
+def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
+    """Wide-encoding JFA with per-step dispatch: one jit per flood step,
+    so each step's buffers free before the next (a single whole-flood
+    jit keeps every step's output live in XLA's buffer assignment —
+    beyond HBM for the large grids this path exists for). Single-chip
+    memory is the only limit, as in the reference (`jfa/naive.cu:160`).
+    """
+    origin = jnp.asarray(origin, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    hi, lo = _init_wide_jit(occ, n=n)
+    k = n // 2
+    while k >= 1:
+        hi, lo = _step_wide_jit(hi, lo, k=k, n=n)
+        k //= 2
+    return _final_wide_jit(hi, lo, occ, origin, vs, n=n)
+
+
 def jfa(grid: VoxelGrid | jnp.ndarray, spec: GridSpec | None = None,
-        backend: str = "xla"):
+        backend: str = "xla", encoding: str = "auto"):
     """Compute the signed squared distance field of an occupancy grid.
 
     Accepts a packed VoxelGrid or a dense bool array (+ spec).
+    `encoding` selects the seed layout for the xla backend ("auto":
+    packed int32 up to N=1024, (hi, lo) wide pair beyond).
     """
     if isinstance(grid, VoxelGrid):
         occ = grid.to_dense()
@@ -187,4 +350,5 @@ def jfa(grid: VoxelGrid | jnp.ndarray, spec: GridSpec | None = None,
         return jfa_pallas(occ, spec)
     if backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")
-    return jfa_xla(occ, spec.origin, spec.voxel_size, n=spec.n)
+    return jfa_xla(occ, spec.origin, spec.voxel_size, n=spec.n,
+                   encoding=encoding)

@@ -215,12 +215,19 @@ def jfa_pallas(occ, spec: GridSpec):
 
     N <= 512 runs as one fused jit; N = 1024 dispatches per flood step
     (the whole-flood jit keeps every step's 4 GB output live — beyond a
-    single 16 GB chip). Grids this size are the intended regime of the
-    Z-sharded multi-chip path (`voxtpu.parallel.sharded_jfa`).
+    single 16 GB chip). For N > 1024 the packed 10-bit seed layout no
+    longer fits an int32 AND the wide (hi, lo) pair's 6 source-plane
+    blocks (3 z-planes x 2 arrays, 16.8 MB each at 2048) exceed VMEM —
+    such grids also exceed one chip's HBM (2048^3 seeds alone = 34 GB),
+    so this backend delegates them to the stepped wide XLA flood
+    (`voxtpu.ops.jfa.jfa_xla_stepped`); memory, not encoding, is then
+    the only limit, and multi-chip grids belong to the Z-sharded path
+    (`voxtpu.parallel.sharded_jfa`).
     """
     if spec.n > 1024:
-        raise ValueError("pallas JFA supports N <= 1024 (10-bit packed "
-                         "seeds); use the sharded path")
+        from voxtpu.ops.jfa import jfa_xla_stepped
+
+        return jfa_xla_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
     if spec.n > 512:
         # Above 512 the whole-flood jit's per-step output buffers (XLA
         # keeps each pallas step's result live) approach chip HBM.

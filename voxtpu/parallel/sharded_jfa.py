@@ -7,19 +7,24 @@ most one device away while k <= slab thickness. Two regimes:
 
 - **k < slab**: exchange k-plane halos with `jax.lax.ppermute` (up and
   down along the "z" mesh axis), then run the local 26-neighbor stencil
-  on the halo-padded slab. Communication: 2 * k * N^2 * 4 bytes.
+  on the halo-padded slab. Communication: 2 * k * N^2 * 4 bytes per
+  state array.
 - **k >= slab**: the first log2(dz) steps reach across several devices;
   `all_gather` the slabs (these early steps are few and the reference
   equivalently reads the whole grid each step).
 
-State is ONE packed int32 seed grid (-1 = no seed), the same
-HBM-traffic-minimal formulation as `voxtpu.ops.jfa.jfa_xla` — the flood
-is memory-bound on state re-reads, and on the wire the halo is a single
-int32 plane set instead of sdf + seed (or three coordinate planes).
+State is the packed int32 seed grid (-1 = no seed) up to N = 1024 — the
+HBM-traffic-minimal formulation of `voxtpu.ops.jfa.jfa_xla` — and the
+wide (hi, lo) int32 pair beyond (16-bit (z, y) fields + x plane,
+N <= 16384): this is the path grids larger than one chip exist for, so
+the cap is the encoding's field width, never 1024. Wide seeds store
+GLOBAL coordinates (axis_index-derived Z at init), so halos need no
+re-basing when a seed crosses a device boundary. On the wire a halo is
+the state arrays only — the sdf is always recomputed from the seed.
 Edge devices receive zero-filled halos from `ppermute` (no sender),
-overridden to the -1 sentinel (out-of-grid neighbors are "skipped" in
-the reference, `jfa/sequential.cpp:96-101`; d2(-1) = +inf loses every
-strict `<` comparison).
+overridden to the no-seed sentinel (out-of-grid neighbors are "skipped"
+in the reference, `jfa/sequential.cpp:96-101`; d2(sentinel) = +inf
+loses every strict `<` comparison).
 """
 
 from __future__ import annotations
@@ -29,7 +34,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from voxtpu.grids.voxel_grid import GridSpec
-from voxtpu.ops.jfa import _OFFSETS, _seed_d2
+from voxtpu.ops.jfa import (_OFFSETS, _int_coords, _seed_d2, _seed_d2_wide,
+                            _seed_d2i_wide)
+
+# Out-of-grid fill per state array. Selection metrics differ by
+# encoding: packed (one array — immune to fusion-remat chimeras) keeps
+# the reference's float32 world-space comparison; wide (two arrays)
+# compares EXACT integer voxel distances so hi/lo can never be selected
+# inconsistently under XLA rematerialization (see voxtpu/ops/jfa.py,
+# "CRITICAL" note).
+_FILLS = {"packed": (-1,), "wide": (-1, 0)}
 
 
 def _halo_exchange(arr, k: int, axis_name: str, fill):
@@ -61,76 +75,97 @@ def _pad_yx(a, k: int, fill):
     return jnp.pad(a, ((0, 0), (k, k), (k, k)), constant_values=fill)
 
 
-def _minimize(seed, best_d2, views_fn, origin, vs, px, py, pz):
-    """Shared 26-neighbor minimization; views_fn(dz, dy, dx) -> plane."""
+def _minimize(state, best_d2, views_fn, sel_fn):
+    """Shared 26-neighbor minimization over a state tuple;
+    views_fn(dz, dy, dx) -> state-tuple of shifted views;
+    sel_fn(state) -> selection distance (encoding-specific)."""
     for dz, dy, dx in _OFFSETS:
-        nseed = views_fn(dz, dy, dx)
-        d2 = _seed_d2(nseed, origin, vs, px, py, pz)
+        nstate = views_fn(dz, dy, dx)
+        d2 = sel_fn(nstate)
         better = d2 < best_d2
         best_d2 = jnp.where(better, d2, best_d2)
-        seed = jnp.where(better, nseed, seed)
-    return seed, best_d2
+        state = tuple(jnp.where(better, nv, v)
+                      for nv, v in zip(nstate, state))
+    return state, best_d2
 
 
-def _step_local(seed, k: int, n: int, slab: int, origin, vs, px, py, pz,
+def _step_local(state, fills, sel_fn, k: int, n: int, slab: int,
                 axis_name: str):
     """One flood step on a Z-slab with k-halos (k < slab)."""
-    pseed = _pad_yx(_halo_exchange(seed, k, axis_name, jnp.int32(-1)),
-                    k, jnp.int32(-1))
+    padded = tuple(
+        _pad_yx(_halo_exchange(s, k, axis_name, jnp.int32(f)), k,
+                jnp.int32(f))
+        for s, f in zip(state, fills)
+    )
 
     def view(dz, dy, dx):
-        return pseed[k + dz * k : k + dz * k + slab,
-                     k + dy * k : k + dy * k + n,
-                     k + dx * k : k + dx * k + n]
+        sl = (slice(k + dz * k, k + dz * k + slab),
+              slice(k + dy * k, k + dy * k + n),
+              slice(k + dx * k, k + dx * k + n))
+        return tuple(p[sl] for p in padded)
 
-    best_d2 = _seed_d2(seed, origin, vs, px, py, pz)
-    return _minimize(seed, best_d2, view, origin, vs, px, py, pz)[0]
+    return _minimize(state, sel_fn(state), view, sel_fn)[0]
 
 
-def _step_gathered(seed, k: int, n: int, slab: int, origin, vs, px, py, pz,
+def _step_gathered(state, fills, sel_fn, k: int, n: int, slab: int,
                    axis_name: str):
-    """Flood step for k >= slab: all_gather the seed grid, dynamic-slice
+    """Flood step for k >= slab: all_gather the seed state, dynamic-slice
     the local slab's neighbor views."""
-    full = jax.lax.all_gather(seed, axis_name, tiled=True)  # (N, N, N)
-    pseed = jnp.pad(full, k, constant_values=jnp.int32(-1))
+    padded = tuple(
+        jnp.pad(jax.lax.all_gather(s, axis_name, tiled=True), k,
+                constant_values=jnp.int32(f))
+        for s, f in zip(state, fills)
+    )
     z0 = jax.lax.axis_index(axis_name) * slab
 
     def view(dz, dy, dx):
-        return jax.lax.dynamic_slice(
-            pseed, (z0 + k + dz * k, k + dy * k, k + dx * k), (slab, n, n)
-        )
+        start = (z0 + k + dz * k, k + dy * k, k + dx * k)
+        return tuple(jax.lax.dynamic_slice(p, start, (slab, n, n))
+                     for p in padded)
 
-    best_d2 = _seed_d2(seed, origin, vs, px, py, pz)
-    return _minimize(seed, best_d2, view, origin, vs, px, py, pz)[0]
+    return _minimize(state, sel_fn(state), view, sel_fn)[0]
 
 
-def _init_local(occ, n: int, slab: int, axis_name: str):
-    """Seed detection on a Z-slab with a 1-voxel halo; packed seed out."""
-    hocc = _halo_exchange(occ, 1, axis_name, False)
-    pocc = _pad_yx(hocc, 1, False)
+def _init_local(occ, n: int, slab: int, axis_name: str, encoding: str):
+    """Seed detection on a Z-slab with a 1-voxel halo; state tuple out.
+    Wide seeds store the GLOBAL z (slab offset from the mesh axis)."""
+    hocc = _pad_yx(_halo_exchange(occ, 1, axis_name, False), 1, False)
     all_n = jnp.ones((slab, n, n), bool)
     for dz, dy, dx in _OFFSETS:
-        all_n &= pocc[1 + dz : 1 + dz + slab, 1 + dy : 1 + dy + n,
+        all_n &= hocc[1 + dz : 1 + dz + slab, 1 + dy : 1 + dy + n,
                       1 + dx : 1 + dx + n]
     boundary = occ & ~all_n
     z0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * slab
-    packed = (
-        ((jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 0) + z0) << 20)
-        | (jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 1) << 10)
-        | jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 2)
-    )
-    return jnp.where(boundary, packed, jnp.int32(-1))
+    zz = jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 0) + z0
+    yy = jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (slab, n, n), 2)
+    if encoding == "wide":
+        hi = jnp.where(boundary, (zz << 16) | yy, jnp.int32(-1))
+        lo = jnp.where(boundary, xx, 0)
+        return hi, lo
+    packed = (zz << 20) | (yy << 10) | xx
+    return (jnp.where(boundary, packed, jnp.int32(-1)),)
 
 
-def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z"):
-    """Z-sharded JFA over a device mesh; returns the sharded SDF array."""
+def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z",
+                encoding: str = "auto"):
+    """Z-sharded JFA over a device mesh; returns the sharded SDF array.
+
+    encoding: "packed" (N <= 1024, minimal wire/HBM traffic), "wide"
+    (N <= 16384, 2x traffic), or "auto". Memory across the mesh is the
+    only other limit, matching the reference's memory-bound JFA
+    (`jfa/naive.cu:160-174`).
+    """
     n = spec.n
-    if n > 1024:
-        raise ValueError(
-            "jfa_sharded supports N <= 1024: seeds are 10-bit packed "
-            "(z, y, x) int32 fields; larger grids need a wider seed "
-            "encoding (planned: int64 or slab-local coordinates)"
-        )
+    if encoding == "auto":
+        encoding = "packed" if n <= 1024 else "wide"
+    if encoding == "packed" and n > 1024:
+        raise ValueError("packed seeds are 10-bit fields (N <= 1024); "
+                         "use encoding='wide' or 'auto'")
+    if n > 16384:
+        raise ValueError("wide seeds compare exact int32 voxel distances "
+                         "(N <= 16384)")
+    fills = _FILLS[encoding]
     dz = device_mesh.shape[axis_name]
     if n % dz != 0:
         raise ValueError(f"N={n} must divide by z axis {dz}")
@@ -139,19 +174,24 @@ def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z"):
     def fn(occ_slab):
         origin = jnp.asarray(spec.origin, jnp.float32)
         vs = jnp.float32(spec.voxel_size)
-        seed = _init_local(occ_slab, n, slab, axis_name)
+        state = _init_local(occ_slab, n, slab, axis_name, encoding)
         px, py, pz = _local_coords(n, slab, origin, vs, axis_name)
+        if encoding == "wide":
+            z0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * slab
+            zz, yy, xx = _int_coords((slab, n, n), z0)
+            sel_fn = lambda st: _seed_d2i_wide(st[0], st[1], zz, yy, xx)
+            out_fn = lambda st: _seed_d2_wide(st[0], st[1], origin, vs,
+                                              px, py, pz)
+        else:
+            sel_fn = lambda st: _seed_d2(st[0], origin, vs, px, py, pz)
+            out_fn = sel_fn
         k = n // 2
         while k >= 1:
-            if k < slab:
-                seed = _step_local(seed, k, n, slab, origin, vs, px, py, pz,
-                                   axis_name)
-            else:
-                seed = _step_gathered(seed, k, n, slab, origin, vs,
-                                      px, py, pz, axis_name)
+            step = _step_local if k < slab else _step_gathered
+            state = step(state, fills, sel_fn, k, n, slab, axis_name)
             k //= 2
         sign = jnp.where(occ_slab, jnp.float32(1), jnp.float32(-1))
-        return sign * _seed_d2(seed, origin, vs, px, py, pz)
+        return sign * out_fn(state)
 
     in_spec = P(axis_name, None, None)
     return jax.jit(
