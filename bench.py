@@ -63,9 +63,70 @@ def subdivide(coords: np.ndarray, faces: np.ndarray, times: int):
     return coords, faces
 
 
+def subdivide_to(coords: np.ndarray, faces: np.ndarray, target: int):
+    """Exact face-count control: full 1:4 subdivisions while they fit,
+    then longest-edge bisection of the first (target - F) triangles.
+    56,172-face bunny -> 1,348,128 matches BASELINE.md's benchmark mesh
+    (2 subdivisions + 449,376 splits)."""
+    while faces.shape[0] * 4 <= target:
+        coords, faces = subdivide(coords, faces, 1)
+    extra = target - faces.shape[0]
+    if extra < 0:
+        raise ValueError(f"target {target} < current {faces.shape[0]}")
+    if extra == 0:
+        return coords, faces
+    nf = faces.shape[0]
+    if extra > 2 * nf:
+        raise ValueError(f"cannot reach {target} from {nf} in one pass")
+    if extra > nf:
+        # Centroid-trisect the first (extra - nf) triangles (+2 faces
+        # each), bisect the rest of the gap (bunny_10785024 = 3 x the
+        # 3,595,008-face subdivision: all trisected).
+        s = extra - nf
+        tri = coords[faces[:s]]
+        cen = tri.mean(axis=1).astype(np.float32)
+        m = coords.shape[0] + np.arange(s)
+        coords = np.concatenate([coords, cen]).astype(np.float32)
+        a, b, c = faces[:s, 0], faces[:s, 1], faces[:s, 2]
+        tris = np.concatenate([
+            np.stack([a, b, m], 1),
+            np.stack([b, c, m], 1),
+            np.stack([c, a, m], 1),
+        ]).astype(np.int32)
+        faces = np.concatenate([tris, faces[s:]])
+        extra = target - faces.shape[0]
+        if extra == 0:
+            return coords, faces
+    tri = coords[faces[:extra]]  # (E, 3, 3)
+    e = np.stack([
+        ((tri[:, 0] - tri[:, 1]) ** 2).sum(1),
+        ((tri[:, 1] - tri[:, 2]) ** 2).sum(1),
+        ((tri[:, 2] - tri[:, 0]) ** 2).sum(1),
+    ], 1)
+    longest = e.argmax(1)  # edge (i, i+1 mod 3)
+    i0 = longest
+    i1 = (longest + 1) % 3
+    i2 = (longest + 2) % 3
+    rows = np.arange(extra)
+    a = faces[rows, i0]
+    b = faces[rows, i1]
+    c = faces[rows, i2]
+    mid = (coords[a] + coords[b]) / 2
+    m = coords.shape[0] + rows
+    coords = np.concatenate([coords, mid]).astype(np.float32)
+    split1 = np.stack([a, m, c], 1)
+    split2 = np.stack([m, b, c], 1)
+    faces = np.concatenate([split1, split2, faces[extra:]]).astype(np.int32)
+    assert faces.shape[0] == target
+    return coords, faces
+
+
 def main() -> int:
     n = int(os.environ.get("BENCH_N", "512"))
-    subdiv = int(os.environ.get("BENCH_SUBDIV", "2"))
+    subdiv = int(os.environ.get("BENCH_SUBDIV", "0"))
+    # Headline default: the BASELINE.md benchmark mesh (1,348,128 faces;
+    # the reference's 68 Gvox/s was measured on this face count).
+    target_faces = int(os.environ.get("BENCH_FACES", "1348128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     op = os.environ.get("BENCH_OP", "vox")  # vox | jfa | csg
 
@@ -75,7 +136,10 @@ def main() -> int:
     from voxtpu.utils.timing import time_device_fn
 
     mesh = import_mesh("/root/reference/assets/bunny.obj")
-    coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+    if subdiv:  # BENCH_SUBDIV overrides the face target (legacy knob)
+        coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+    else:
+        coords, faces = subdivide_to(mesh.coords, mesh.faces, target_faces)
     mesh = Mesh(name="bunny_sub", coords=coords, faces=faces, faces_normals=faces)
     spec = GridSpec.fit(mesh.coords, n)
 
@@ -86,7 +150,21 @@ def main() -> int:
         return _bench_other(op, mesh, spec, backend, n, iters)
 
     t0 = time.time()
-    if backend == "pallas":
+    if backend == "pallas" and (n >= 2048 or os.environ.get("BENCH_WE") == "1"):
+        backend = "pallas_we"
+    if backend == "pallas_we":
+        from voxtpu.ops.vox_pallas_we import WordEventVoxPlan, _we_words
+
+        plan = WordEventVoxPlan(mesh, spec)
+        prep_s = time.time() - t0
+
+        def run(*args):
+            return _we_words(*args, n=spec.n, num_tiles=plan.num_tiles,
+                             tc=plan.tc, tb_sub=plan.tb_sub)
+
+        args = (plan.cells, plan.ws, plan.masks, plan.cnts, plan.batch_tile,
+                plan.flags, plan.tile_mask)
+    elif backend == "pallas":
         from voxtpu.ops.vox_pallas import PallasVoxPlan, _pallas_words
 
         plan = PallasVoxPlan(mesh, spec)

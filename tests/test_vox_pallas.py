@@ -74,3 +74,62 @@ def test_workqueue_matches_xla(sphere_mesh):
         plan = WorkQueueVoxPlan(sphere_mesh, spec, seg=seg)
         got = np.asarray(voxelize_wq(sphere_mesh, spec, plan=plan).to_dense())
         np.testing.assert_array_equal(got, ref, err_msg=f"seg={seg}")
+
+
+@pytest.mark.parametrize("mesh_name", ["sphere_mesh", "torus_mesh", "d20_mesh"])
+def test_word_event_matches_oracle(mesh_name, request):
+    """The word-event kernel (large-N path) must equal the oracle
+    bit-for-bit at any size."""
+    from voxtpu.ops.vox_pallas_we import voxelize_pallas_we
+
+    mesh = request.getfixturevalue(mesh_name)
+    spec = GridSpec.fit(mesh.coords, 32)
+    ref = voxelize_ref(mesh, spec)
+    got = np.asarray(voxelize_pallas_we(mesh, spec).to_dense())
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_word_event_matches_xla_bunny(bunny_mesh):
+    from voxtpu.ops.vox_pallas_we import voxelize_pallas_we
+
+    spec = GridSpec.fit(bunny_mesh.coords, 64)
+    ref = np.asarray(voxelize(bunny_mesh, spec, backend="xla").words)
+    got = np.asarray(voxelize_pallas_we(bunny_mesh, spec).words)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_word_event_empty_mesh():
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.ops.vox_pallas_we import voxelize_pallas_we
+
+    mesh = Mesh(name="empty", coords=np.zeros((0, 3), np.float32),
+                faces=np.zeros((0, 3), np.int32),
+                faces_normals=np.zeros((0, 3), np.int32))
+    spec = GridSpec(n=32, origin=(0, 0, 0), voxel_size=0.1)
+    grid = voxelize_pallas_we(mesh, spec)
+    assert grid.count() == 0
+
+
+def test_word_event_odd_tc(sphere_mesh):
+    """tc != 128 layouts (multi-batch tiles, CLI -b) stay exact."""
+    from voxtpu.ops.vox_pallas_we import WordEventVoxPlan, voxelize_pallas_we
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
+    plan = WordEventVoxPlan(sphere_mesh, spec, tc=64, tb_sub=1)
+    got = np.asarray(voxelize_pallas_we(sphere_mesh, spec, plan=plan).words)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_dispatch_accepts_we_plan(sphere_mesh):
+    """voxelize(backend='pallas') must route WordEventVoxPlan to the
+    word-event kernel (the N >= 2048 auto-dispatch path)."""
+    from voxtpu.ops.vox_pallas_we import WordEventVoxPlan
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    plan = WordEventVoxPlan(sphere_mesh, spec)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
+    got = np.asarray(
+        voxelize(sphere_mesh, spec, backend="pallas", plan=plan).words
+    )
+    np.testing.assert_array_equal(got, ref)

@@ -1,0 +1,312 @@
+"""Pallas TPU word-event voxelizer — the large-N performance path.
+
+The round-1 suffix-fill kernel (`voxtpu.ops.vox_pallas`) pays
+O(TB x TC x N) MXU flops per fragment batch: every fragment's column
+fill spans all N X-columns. That wins up to 1024^3 but loses to the
+reference's work-queue kernel (`vox/tiled.cu:372-486`) from 2048^3,
+where most tiles hold under one batch of fragments and the padded
+full-width fill dominates (BENCH_NOTES.md).
+
+This kernel reformulates the parity fill at WORD granularity. For a
+fragment with entry x = 32*w + b, the suffix mask over word q is
+
+    full ones            if q > w      (the "carry")
+    0xFFFFFFFF << b      if q == w     (the in-word mask)
+    0                    if q < w
+
+so the packed result decomposes as
+
+    words[c, q] = (XOR of in-word masks of fragments at (c, q))
+                  XOR (0xFFFFFFFF if #fragments with w_f < q is odd)
+
+Fragments are pre-reduced on device (sort by (cell, word) + segmented
+XOR / count parity) into at most one **word event** per touched
+(cell, word): (cell, w, mask32, count&1). Uniqueness is what lets the
+MXU accumulate mask BYTES by addition: each (c, q) output slot receives
+at most one event, so an int8 one-hot x value matmul recovers the byte
+exactly (values are reinterpreted int8, un-done by `& 0xFF`).
+
+Per batch of TB events the kernel runs 5 int8 matmuls of shape
+(TC, TB) @ (TB, N/32): one carry-count and four mask bytes — vs the
+suffix kernel's one (TC, TB) @ (TB, N) fill. At N = 2048 that is 6.4x
+fewer MXU flops at the same int8 rate, every operand build is a
+(N/32, 128) or (TC, 128) compare (the suffix kernel builds (N, 128)
+fills — the real bottleneck), and the end-of-tile bit-pack matmuls
+vanish entirely: the accumulators already live at word granularity.
+
+Layout mirrors `vox_pallas`: batches of TB = TB_SUB x 128 events per
+grid step, scalar-prefetched tile ids and FIRST/LAST flags, VMEM
+accumulators flushed to the tile's output block on LAST.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtpu.grids.voxel_grid import WORD_BITS, GridSpec, VoxelGrid
+from voxtpu.mesh.mesh import Mesh
+from voxtpu.ops.vox import FragmentPlan, fragments_from_plan
+from voxtpu.ops.vox_pallas import (FLAG_FIRST, FLAG_LAST, TB_LANE,
+                                   _gather_batches, tile_batches)
+
+TILE_CELLS = 128
+TB_SUB = 4
+_LANE_MIN = 128  # Mosaic lane-dim floor: pad N/32 columns up to one panel
+
+
+def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(batch_tile_ref, flags_ref, cell_ref, w_ref, mask_ref, cnt_ref,
+               out_ref, acc_carry, acc_b0, acc_b1, acc_b2, acc_b3):
+        b = pl.program_id(0)
+        flags = flags_ref[b]
+
+        @pl.when((flags & FLAG_FIRST) != 0)
+        def _():
+            acc_carry[:] = jnp.zeros_like(acc_carry)
+            acc_b0[:] = jnp.zeros_like(acc_b0)
+            acc_b1[:] = jnp.zeros_like(acc_b1)
+            acc_b2[:] = jnp.zeros_like(acc_b2)
+            acc_b3[:] = jnp.zeros_like(acc_b3)
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (wpad, TB_LANE), 0)
+        byte_accs = (acc_b0, acc_b1, acc_b2, acc_b3)
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]   # (128,) -1 = inert lane
+            w_s = w_ref[0, s, :]          # event word, -1 inert
+            m_s = mask_ref[0, s, :]       # in-word XOR mask (int32 bits)
+            c_s = cnt_ref[0, s, :]        # fragment-count parity 0/1
+            onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
+            eq = q_iota == w_s[None, :]
+            # Carry: +1 to every word beyond the event's, odd counts only.
+            carry_fill = jnp.where(
+                (q_iota > w_s[None, :]) & (c_s[None, :] > 0), 1, 0
+            ).astype(jnp.int8)
+            acc_carry[:] += jax.lax.dot_general(
+                onehot, carry_fill,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # Mask bytes ride the MXU as sign-reinterpreted int8 values;
+            # uniqueness of (cell, word) events makes the sums exact
+            # single values, recovered below with & 0xFF.
+            for k, acc in enumerate(byte_accs):
+                byte = (m_s >> (8 * k)) & 0xFF
+                byte_s8 = (byte << 24) >> 24  # sign-extend low 8 bits
+                fill = jnp.where(eq, byte_s8[None, :], 0).astype(jnp.int8)
+                acc[:] += jax.lax.dot_general(
+                    onehot, fill,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+        @pl.when((flags & FLAG_LAST) != 0)
+        def _():
+            word = (
+                (acc_b0[:] & 0xFF)
+                | ((acc_b1[:] & 0xFF) << 8)
+                | ((acc_b2[:] & 0xFF) << 16)
+                | ((acc_b3[:] & 0xFF) << 24)
+            )
+            # Odd carry flips the whole word (two's complement -1 = ones).
+            word = word ^ (-(acc_carry[:] & 1))
+            out_ref[0] = word.astype(jnp.uint32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_words", "num_tiles", "tc", "tb_sub"))
+def _run_we(cells, ws, masks, cnts, batch_tile, flags, *,
+            num_words: int, num_tiles: int, tc: int, tb_sub: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tb = tb_sub * TB_LANE
+    wpad = max(num_words, _LANE_MIN)
+    num_batches = cells.shape[0]
+    spec3 = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # batch_tile, flags
+        grid=(num_batches,),
+        in_specs=[spec3, spec3, spec3, spec3],
+        out_specs=pl.BlockSpec(
+            (1, tc, wpad), lambda b, batch_tile, flags: (batch_tile[b], 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((tc, wpad), jnp.int32)] * 5,
+    )
+    flops = num_batches * 5 * 2 * tb * tc * wpad
+    out = pl.pallas_call(
+        _we_kernel(num_words, wpad, tc, tb_sub),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tc, wpad), jnp.uint32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=num_batches * tb * 16,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(batch_tile, flags, cells, ws, masks, cnts)
+    return out[:, :, :num_words]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tc"))
+def _build_events(cells, xs, *, n: int, tc: int):
+    """Device-side fragment -> word-event reduction.
+
+    Sorts fragments by (cell, word), XORs in-word masks and counts
+    fragments per (cell, word) segment, and compacts one event per
+    segment to the front (positions of segment starts/ends are
+    themselves compacted by sorts — no big gathers beyond the final
+    event pickup, and nothing large crosses to the host).
+
+    Returns (cell_e, w_e, mask_e, cnt_e, tile_e, num_events_dev), all
+    length F with valid events first; the padding carries the sentinel
+    cell n*n (tile == num_tiles, past every batch probe).
+    """
+    f = cells.shape[0]
+    wf = jnp.minimum(xs // WORD_BITS, n // WORD_BITS - 1)
+    bf = xs % WORD_BITS
+    cells_s, wf_s, bf_s = jax.lax.sort((cells, wf, bf), num_keys=2)
+    mask_s = (jnp.uint32(0xFFFFFFFF) << bf_s.astype(jnp.uint32))
+    # Invalid fragments (sentinel cell) must contribute nothing.
+    valid_s = cells_s < n * n
+    mask_s = jnp.where(valid_s, mask_s, jnp.uint32(0))
+
+    iota = jnp.arange(f, dtype=jnp.int32)
+    changed = (cells_s != jnp.roll(cells_s, 1)) | (wf_s != jnp.roll(wf_s, 1))
+    start = changed.at[0].set(True)
+    end = jnp.roll(start, -1)  # segment ends: next position starts anew
+
+    # Exclusive XOR prefix -> segment XOR = P[end+1] ^ P[start].
+    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_s)
+    p_excl = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
+
+    big = jnp.int32(f)
+    spos = jax.lax.sort(jnp.where(start, iota, big))
+    epos = jax.lax.sort(jnp.where(end, iota, big))
+    sv = jnp.minimum(spos, f - 1)
+    ev = jnp.minimum(epos, f - 1)
+    pad = spos >= big
+
+    cell_e = jnp.where(pad, jnp.int32(n * n), cells_s[sv])
+    w_e = jnp.where(pad, jnp.int32(-1), wf_s[sv])
+    mask_e = jnp.where(pad, jnp.uint32(0), p_excl[ev + 1] ^ p_excl[sv])
+    cnt_e = jnp.where(pad, 0, (ev - sv + 1) & 1)
+    # Events of invalid fragments: keep slots but neutralize them (their
+    # segment sits at the tail; cell_e is already the sentinel).
+    invalid = cell_e >= n * n
+    cell_e = jnp.where(invalid, jnp.int32(n * n), cell_e)
+    w_e = jnp.where(invalid, -1, w_e)
+    mask_e = jnp.where(invalid, jnp.uint32(0), mask_e)
+    cnt_e = jnp.where(invalid, 0, cnt_e)
+    num_events = jnp.sum(start & valid_s, dtype=jnp.int32)
+    return cell_e, w_e, mask_e, cnt_e, num_events
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def _gather_event_batches(cell_e, w_e, mask_e, cnt_e, starts, ends, *,
+                          tb: int):
+    """Batch materialization for the 4 event arrays (inert pads)."""
+    local, wvals = _gather_batches(cell_e, w_e, starts, ends, tb=tb)
+    nvalid = mask_e.shape[0]
+    idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
+    in_range = idx < ends[:, None]
+    idx_c = jnp.clip(idx, 0, max(nvalid - 1, 0))
+    masks = jnp.where(in_range, mask_e[idx_c], jnp.uint32(0))
+    cnts = jnp.where(in_range, cnt_e[idx_c], 0)
+    return local, wvals, masks.astype(jnp.int32), cnts.astype(jnp.int32)
+
+
+class WordEventVoxPlan:
+    """Word-event batch layout for one (mesh, grid) pair.
+
+    Same contract as `vox_pallas.PallasVoxPlan` (host round-trip limited
+    to the (num_tiles+1) bounds array), but batches hold pre-reduced
+    (cell, word) events instead of raw fragments; wins from 2048^3 up
+    where per-fragment full-width fills dominate the suffix kernel."""
+
+    def __init__(self, mesh: Mesh, spec: GridSpec,
+                 frag_plan: FragmentPlan | None = None, fragments=None,
+                 tc: int = TILE_CELLS, tb_sub: int = TB_SUB):
+        n = spec.n
+        if n % WORD_BITS != 0:
+            raise ValueError("pallas vox requires N % 32 == 0")
+        if tc <= 0 or (n * n) % tc != 0:
+            raise ValueError(f"tc={tc} must divide N^2={n * n}")
+        tb = tb_sub * TB_LANE
+        self.spec = spec
+        self.tc = tc
+        self.tb_sub = tb_sub
+        self.num_words = n // WORD_BITS
+        num_tiles = (n * n) // tc
+        self.num_tiles = num_tiles
+
+        if fragments is None:
+            if frag_plan is None:
+                frag_plan = FragmentPlan(mesh, spec)
+            fragments = fragments_from_plan(frag_plan)
+        cells, xs = (jnp.asarray(a) for a in fragments)
+        cell_e, w_e, mask_e, cnt_e, n_ev = _build_events(
+            cells, xs, n=n, tc=tc
+        )
+        # Events arrive sorted by cell; per-tile ranges via searchsorted
+        # over tile keys. Tiny D2H: (num_tiles + 1) int32.
+        tile_key = jnp.minimum(cell_e // tc, num_tiles)
+        probes = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = np.asarray(jnp.searchsorted(tile_key, probes))
+        self.num_events = int(np.asarray(n_ev))
+        self.num_fragments = int(cells.shape[0])
+
+        batch_tiles, starts_h, flags, ends_h, tile_mask, _ = tile_batches(
+            bounds, tb
+        )
+        bcount = len(batch_tiles)
+        starts = jnp.asarray(starts_h.astype(np.int32))
+        ends = jnp.asarray(ends_h.astype(np.int32))
+        local_e = jnp.where(cell_e < n * n, cell_e % tc, -1)
+        cells_b, w_b, mask_b, cnt_b = _gather_event_batches(
+            local_e, w_e, mask_e, cnt_e, starts, ends, tb=tb
+        )
+        self.cells = cells_b.reshape(bcount, tb_sub, TB_LANE)
+        self.ws = w_b.reshape(bcount, tb_sub, TB_LANE)
+        self.masks = mask_b.reshape(bcount, tb_sub, TB_LANE)
+        self.cnts = cnt_b.reshape(bcount, tb_sub, TB_LANE)
+        self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)
+        self.flags = jnp.asarray(flags, jnp.int32)
+        self.tile_mask = jnp.asarray(tile_mask)
+        self.num_batches = bcount
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "num_tiles", "tc", "tb_sub"))
+def _we_words(cells, ws, masks, cnts, batch_tile, flags, tile_mask, *,
+              n: int, num_tiles: int, tc: int, tb_sub: int):
+    words = _run_we(cells, ws, masks, cnts, batch_tile, flags,
+                    num_words=n // WORD_BITS, num_tiles=num_tiles, tc=tc,
+                    tb_sub=tb_sub)
+    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
+    return words.reshape(n, n, n // WORD_BITS)
+
+
+def voxelize_pallas_we(mesh: Mesh, spec: GridSpec,
+                       plan: "WordEventVoxPlan | FragmentPlan | None" = None
+                       ) -> VoxelGrid:
+    """Solid voxelization via the word-event Pallas kernel."""
+    if plan is None or isinstance(plan, FragmentPlan):
+        plan = WordEventVoxPlan(mesh, spec, frag_plan=plan)
+    words = _we_words(
+        plan.cells, plan.ws, plan.masks, plan.cnts, plan.batch_tile,
+        plan.flags, plan.tile_mask,
+        n=spec.n, num_tiles=plan.num_tiles, tc=plan.tc, tb_sub=plan.tb_sub,
+    )
+    return VoxelGrid(
+        words=words,
+        origin=jnp.asarray(spec.origin, jnp.float32),
+        voxel_size=jnp.float32(spec.voxel_size),
+    )
