@@ -17,13 +17,15 @@ def _mesh(dd, dz):
 
 
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2)])
-def test_sharded_vox_matches_single(sphere_mesh, shape):
+@pytest.mark.parametrize("exchange", ["ring", "gather"])
+def test_sharded_vox_matches_single(sphere_mesh, shape, exchange):
     from voxtpu.parallel.sharded_vox import voxelize_sharded
 
     spec = GridSpec.fit(sphere_mesh.coords, 32)
     single = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
     sharded = np.asarray(
-        voxelize_sharded(sphere_mesh, spec, _mesh(*shape)).words
+        voxelize_sharded(sphere_mesh, spec, _mesh(*shape),
+                         exchange=exchange).words
     )
     np.testing.assert_array_equal(sharded, single)
 

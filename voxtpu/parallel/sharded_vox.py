@@ -5,15 +5,17 @@ SPMD design (no analog exists in the single-GPU reference, SURVEY.md §2d):
 
 1. Triangle buckets are split across the full device mesh host-side
    (every device gets an equal padded slice).
-2. Each device emits fragments for its triangles (`emit_fragments`).
-3. One `all_gather` over both mesh axes shares the fragment lists —
-   fragments (8 bytes each) are far smaller than the N^3 grid.
-4. Every device sorts the global fragment list and resolves *only its
-   own Z-slab* of the output grid (the searchsorted probe range is the
-   slab's cells), yielding a grid sharded along Z with zero scatter.
+2. Each device emits fragments for its triangles (`emit_fragments`)
+   and sorts its LOCAL list by (cell, x).
+3. The Z-axis `ppermute` ring rotates the sorted shard lists; each
+   rotation every device XOR-accumulates the visiting shard's
+   contribution to its own Z-slab (word-event resolve, no scatter).
+   Fragments (8 bytes each) are far smaller than the N^3 grid, and the
+   ring transfers overlap the resolve compute.
 
-Communication: a single fragment all-gather over ICI; compute is fully
-local afterwards.
+Per-device sort cost stays O(F/S log F/S) at any device count S — the
+round-1 all-gather + replicated global sort (kept as
+``exchange="gather"``) was O(F log F) per device regardless of S.
 """
 
 from __future__ import annotations
@@ -53,41 +55,51 @@ def _split_buckets(plan: FragmentPlan, n_shards: int):
 
 
 def _resolve_slab(cells, x_entry, *, n: int, slab: int):
-    """Resolve sorted fragments into one Z-slab of packed words.
+    """Resolve (cell, x)-sorted fragments into one Z-slab of packed
+    words (word-event formulation — no per-word python unroll, matching
+    `voxtpu.ops.vox.resolve_fragments`).
 
-    `cells` must be globally sorted; the slab's cell-id range is
-    [z0*n, (z0+slab)*n) where z0 = axis_index('z') * slab.
+    Fragments outside the slab's cell range [z0*n, (z0+slab)*n) land
+    before probe 0 or past the last probe and contribute nothing.
     """
     num_words = n // WORD_BITS
     z0 = jax.lax.axis_index("z") * slab
     base = z0 * n
-    probes = base + jnp.arange(slab * n + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(cells, probes)
-    starts, ends = bounds[:-1], bounds[1:]
-    words = []
     x32 = x_entry.astype(jnp.int32)
-    for w in range(num_words):
-        s = x32 - WORD_BITS * w
-        mask = jnp.where(
-            s <= 0,
-            jnp.uint32(0xFFFFFFFF),
-            jnp.where(
-                s >= WORD_BITS,
-                jnp.uint32(0),
-                jnp.uint32(0xFFFFFFFF)
-                << jnp.clip(s, 0, WORD_BITS - 1).astype(jnp.uint32),
-            ),
-        )
-        scan = jax.lax.associative_scan(jnp.bitwise_xor, mask)
-        scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
-        words.append(scan0[ends] ^ scan0[starts])
-    return jnp.stack(words, axis=-1).reshape(slab, n, num_words)
+    wf = jnp.minimum(x32 // WORD_BITS, num_words - 1)
+    bf = x32 % WORD_BITS
+    # (cell, x) sort order == (cell, wf, bf) order, so the composite
+    # key is sorted. Out-of-slab cells give keys < 0 or >= count*W.
+    cw = (cells - base) * num_words + wf
+    probes = jnp.arange(slab * n * num_words + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(cw, probes).astype(jnp.int32)
+
+    mask_own = jnp.uint32(0xFFFFFFFF) << bf.astype(jnp.uint32)
+    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_own)
+    scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
+    inword = (scan0[bounds[1:]] ^ scan0[bounds[:-1]]).reshape(-1, num_words)
+    b2 = bounds[:-1].reshape(-1, num_words)
+    carry_odd = ((b2 - b2[:, :1]) & 1).astype(jnp.uint32)
+    words = inword ^ (carry_odd * jnp.uint32(0xFFFFFFFF))
+    return words.reshape(slab, n, num_words)
 
 
 def voxelize_sharded(mesh: TriMesh, spec: GridSpec, device_mesh: Mesh,
-                     plan: FragmentPlan | None = None) -> VoxelGrid:
+                     plan: FragmentPlan | None = None,
+                     exchange: str = "ring") -> VoxelGrid:
     """Voxelize with triangles sharded over all mesh devices and the
-    output grid sharded along Z over the mesh's "z" axis."""
+    output grid sharded along Z over the mesh's "z" axis.
+
+    exchange: "ring" (default, scalable) — each device sorts only its
+    LOCAL fragments, then the Z-axis `ppermute` ring rotates the sorted
+    shard lists; every rotation each device XOR-accumulates the visiting
+    shard's contribution to its own slab. Per-device sort work is
+    O(F/S log F/S) instead of the "gather" variant's O(F log F)
+    replicated global sort, and the ring transfers overlap with the
+    resolve compute. "gather": the round-1 shape (fragment all-gather +
+    full sort on every device) — fine at a few devices, kept for
+    comparison.
+    """
     if plan is None:
         plan = FragmentPlan(mesh, spec)
     n = spec.n
@@ -125,11 +137,26 @@ def voxelize_sharded(mesh: TriMesh, spec: GridSpec, device_mesh: Mesh,
             all_xs.append(xs)
         cells = jnp.concatenate(all_cells)
         xs = jnp.concatenate(all_xs)
-        # Share fragments over both axes, then resolve only our Z slab.
-        cells = jax.lax.all_gather(cells, ("d", "z"), tiled=True)
-        xs = jax.lax.all_gather(xs, ("d", "z"), tiled=True)
-        cells, xs = jax.lax.sort((cells, xs), num_keys=1)
-        return _resolve_slab(cells, xs, n=n, slab=slab)
+        if exchange == "gather":
+            # Share fragments over both axes, then resolve our Z slab.
+            cells = jax.lax.all_gather(cells, ("d", "z"), tiled=True)
+            xs = jax.lax.all_gather(xs, ("d", "z"), tiled=True)
+            cells, xs = jax.lax.sort((cells, xs), num_keys=2)
+            return _resolve_slab(cells, xs, n=n, slab=slab)
+        # Ring: share over 'd' only (usually 1), sort the LOCAL list,
+        # then rotate shard lists around the Z ring, accumulating each
+        # visitor's XOR contribution to our slab. XOR associativity
+        # makes the partial resolves order-independent.
+        cells = jax.lax.all_gather(cells, "d", tiled=True)
+        xs = jax.lax.all_gather(xs, "d", tiled=True)
+        cells, xs = jax.lax.sort((cells, xs), num_keys=2)
+        ring = [(i, (i + 1) % dz) for i in range(dz)]
+        words = _resolve_slab(cells, xs, n=n, slab=slab)
+        for _ in range(dz - 1):
+            cells = jax.lax.ppermute(cells, "z", ring)
+            xs = jax.lax.ppermute(xs, "z", ring)
+            words = words ^ _resolve_slab(cells, xs, n=n, slab=slab)
+        return words
 
     in_specs = tuple(P(("d", "z")) for _ in range(num_buckets * 5))
     flat_in = []
