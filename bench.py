@@ -289,7 +289,13 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
         soft_plan = make_soft_plan(mesh, spec)
         target = grid.to_dense().astype(jnp.float32)
 
-        if backend == "pallas":
+        if backend == "fused":
+            from voxtpu.ops.soft_vox_fused import (FusedSoftPlan,
+                                                   soft_voxelize_fused)
+
+            plan = FusedSoftPlan(soft_plan)
+            fwd = lambda c: soft_voxelize_fused(c, plan)
+        elif backend == "pallas":
             from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
                                                     soft_voxelize_pallas)
 

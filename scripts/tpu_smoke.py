@@ -122,12 +122,55 @@ def main() -> int:
         den = float(jnp.linalg.norm(gp) * jnp.linalg.norm(gx) + 1e-30)
         assert num / den > 0.999, f"grad cosine {num/den}"
 
+    def soft_fused_fwd_bwd():
+        from voxtpu.models.fit import soft_iou_loss
+        from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+        from voxtpu.ops.soft_vox_fused import (FusedSoftPlan,
+                                               soft_voxelize_fused)
+
+        # Jitter off the icosphere's exactly-X-degenerate faces: their
+        # knife-edge outcome depends on per-program FMA rounding of the
+        # face normal, so the engines may legitimately differ there.
+        from voxtpu.mesh.mesh import Mesh as _Mesh
+
+        rngj = np.random.default_rng(0)
+        jit_coords = (mesh.coords + rngj.normal(
+            0, 1e-4, mesh.coords.shape).astype(np.float32))
+        jmesh = _Mesh(name="j", coords=jit_coords, faces=mesh.faces,
+                      faces_normals=mesh.faces_normals)
+        sspec = GridSpec.fit(jmesh.coords, 32)
+        soft_plan = make_soft_plan(jmesh, sspec)
+        fplan = FusedSoftPlan(soft_plan)
+        target = jnp.asarray(
+            voxelize(jmesh, sspec, backend="pallas").to_dense(), jnp.float32)
+        coords = jnp.asarray(jmesh.coords)
+
+        @jax.jit
+        def lg_fused(c):
+            return jax.value_and_grad(
+                lambda cc: soft_iou_loss(soft_voxelize_fused(cc, fplan),
+                                         target))(c)
+
+        @jax.jit
+        def lg_xla(c):
+            return jax.value_and_grad(
+                lambda cc: soft_iou_loss(soft_voxelize(cc, soft_plan),
+                                         target))(c)
+
+        lf_, gf = lg_fused(coords)
+        lx, gx = lg_xla(coords)
+        np.testing.assert_allclose(float(lf_), float(lx), rtol=1e-3)
+        num = float(jnp.vdot(gf, gx))
+        den = float(jnp.linalg.norm(gf) * jnp.linalg.norm(gx) + 1e-30)
+        assert num / den > 0.99, f"grad cosine {num/den}"
+
     check("vox_pallas_suffix@64", vox_suffix)
     check("vox_pallas_word_event@64", vox_we)
     check("vox_pallas_work_queue@64", vox_wq)
     check("jfa_pallas_fused@32", jfa_fused)
     check("jfa_pallas_stepped@32", jfa_stepped)
     check("soft_vox_pallas_fwd_bwd@32", soft_fwd_bwd)
+    check("soft_vox_fused_fwd_bwd@32", soft_fused_fwd_bwd)
 
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", file=sys.stderr)

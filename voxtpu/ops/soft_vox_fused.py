@@ -1,0 +1,493 @@
+"""Fused (tile, triangle) soft voxelizer — coefficient tables in VMEM.
+
+Round-1's Pallas soft engine (`voxtpu.ops.soft_vox_pallas`) streams
+per-FRAGMENT traced arrays (weight, x_hit) through HBM and pays two
+F-sized permutation sorts per step to lay them out in batch order
+(BENCH_NOTES.md: the sorts + XLA fragment generation dominate the
+80 ms fwd+bwd at 256^3, not the MXU kernels). This engine removes the
+per-fragment traced data entirely:
+
+- XLA computes 13 *per-triangle* coefficients (edge-function planes,
+  the X-hit plane, the facing sign) — T rows, not F.
+- Each batch carries a VMEM table of its triangles' coefficient rows
+  (TBL unique triangles max; slots hold a static table index).
+- The kernel reconstructs every fragment from its (static) cell and
+  its triangle's coefficients — edge functions, sigmoid coverage,
+  X-hit, sigmoid profile — and accumulates the same
+  (TC, 128) @ (128, N) MXU contraction as before.
+- The backward kernel chain-rules fragment cotangents to COEFFICIENT
+  cotangents in-kernel (two extra small matmuls) and emits one
+  (16, TBL) block per batch; JAX autodiff carries them back through
+  the table gather to vertex coordinates.
+
+Traced data per step: coefficient tables (~F/4 rows of 64 B) instead
+of F fragments x 2 arrays x fwd/bwd sorts.
+
+Math (reference semantics, `vox/sequential.cpp:18-61` relaxed as in
+`voxtpu.ops.soft_vox`): edge k of triangle (a, b, c) against a cell
+center (cy, cz) is
+
+    e_k(cy, cz) = u_k * cz + v_k * cy + w_k          (sign-folded)
+    cov = sigmoid(e0/te) * sigmoid(e1/te) * sigmoid(e2/te)
+    weight = wmul * cov,   wmul = sign (0 if degenerate)
+    x_hit = P - Q * cy - R * cz,  (P, Q, R) = (D, B, C) / A
+
+Coefficient layout (16 lanes, transposed to (16, TBL) so the kernel
+reads attributes as sublane rows — Mosaic-friendly):
+    0..8: (u, v, w) for e0, e1, e2     9..11: P, Q, R     12: wmul
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TB_LANE = 128
+FLAG_FIRST = 1
+FLAG_LAST = 2
+NATTR = 16
+
+
+def triangle_coeffs(tri: jnp.ndarray) -> jnp.ndarray:
+    """(T, 3, 3) vertex coords -> (T, 16) fragment-reconstruction
+    coefficients (differentiable)."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    nx = (b[:, 1] - a[:, 1]) * (c[:, 2] - b[:, 2]) - (
+        b[:, 2] - a[:, 2]) * (c[:, 1] - b[:, 1])
+    sign = jnp.where(nx >= 0, jnp.float32(1), jnp.float32(-1))
+
+    def edge(v0, v1):
+        # e = (cz - v0z)(v1y - v0y) - (cy - v0y)(v1z - v0z)
+        u = v1[:, 1] - v0[:, 1]
+        v = -(v1[:, 2] - v0[:, 2])
+        w = v0[:, 1] * (v1[:, 2] - v0[:, 2]) - v0[:, 2] * (v1[:, 1] - v0[:, 1])
+        return u * sign, v * sign, w * sign
+
+    u0, v0_, w0 = edge(a, b)
+    u1, v1_, w1 = edge(b, c)
+    u2, v2_, w2 = edge(c, a)
+
+    # Same op as the XLA engine (`soft_vox._soft_fragments`): for
+    # exactly-X-degenerate triangles (n_x = 0, e.g. icosphere side
+    # walls) the knife-edge outcome depends on how the compiler rounds
+    # this cross product; using the identical expression keeps the two
+    # engines aligned everywhere float rounding allows (meshes in
+    # generic position match to float32 tolerance).
+    cr = jnp.cross(b - a, c - a)
+    A, B, C = cr[:, 0], cr[:, 1], cr[:, 2]
+    D = A * a[:, 0] + B * a[:, 1] + C * a[:, 2]
+    degenerate = jnp.abs(A) < 1e-20
+    safe_A = jnp.where(degenerate, jnp.float32(1e-20), A)
+    P = D / safe_A
+    Q = B / safe_A
+    R = C / safe_A
+    wmul = jnp.where(degenerate, 0.0, sign)
+
+    zeros = jnp.zeros_like(A)
+    return jnp.stack(
+        [u0, v0_, w0, u1, v1_, w1, u2, v2_, w2, P, Q, R, wmul,
+         zeros, zeros, zeros], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(batch_tile_ref, flags_ref, cell_ref, idx_ref, tab_ref,
+               prm_ref, out_ref, acc):
+        b = pl.program_id(0)
+        flags = flags_ref[b]
+        tile = batch_tile_ref[b]
+        ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
+        vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, n), 1)
+        cx = ox + (x_iota.astype(jnp.float32) * vs + vs * 0.5)
+        table_t = tab_ref[0]  # (16, TBL)
+
+        part = jnp.zeros((tc, n), jnp.float32)
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]          # local cell, -1 pad
+            idx_s = idx_ref[0, s, :]             # table slot
+            gcell = tile * tc + cells_s
+            cy = oy + ((gcell % n).astype(jnp.float32) * vs + vs * 0.5)
+            cz = oz + ((gcell // n).astype(jnp.float32) * vs + vs * 0.5)
+
+            onehot_t = (tbl_iota == idx_s[None, :]).astype(jnp.float32)
+            at = jax.lax.dot_general(
+                table_t, onehot_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16, 128): attribute rows per slot
+
+            s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
+            s1 = jax.nn.sigmoid((at[3] * cz + at[4] * cy + at[5]) / tau_e)
+            s2 = jax.nn.sigmoid((at[6] * cz + at[7] * cy + at[8]) / tau_e)
+            w_s = at[12] * (s0 * s1 * s2)
+            xh = at[9] - at[10] * cy - at[11] * cz
+
+            onehot_w = jnp.where(
+                cell_iota == cells_s[None, :], w_s[None, :], 0.0
+            ).astype(jnp.float32)
+            sig = jax.nn.sigmoid((xh[:, None] - cx) / tau_x)
+            part += jax.lax.dot_general(
+                onehot_w, sig,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when((flags & FLAG_FIRST) != 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        acc[:] += part
+
+        @pl.when((flags & FLAG_LAST) != 0)
+        def _():
+            out_ref[0] = acc[:]
+
+    return kernel
+
+
+def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(batch_tile_ref, flags_ref, cell_ref, idx_ref, tab_ref,
+               prm_ref, g_ref, dtab_ref):
+        b = pl.program_id(0)
+        tile = batch_tile_ref[b]
+        ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
+        vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
+        g_tile = g_ref[0]  # (TC, N)
+        table_t = tab_ref[0]
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, n), 1)
+        cx = ox + (x_iota.astype(jnp.float32) * vs + vs * 0.5)
+
+        dtab = jnp.zeros((NATTR, tbl), jnp.float32)
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]
+            idx_s = idx_ref[0, s, :]
+            gcell = tile * tc + cells_s
+            cy = oy + ((gcell % n).astype(jnp.float32) * vs + vs * 0.5)
+            cz = oz + ((gcell // n).astype(jnp.float32) * vs + vs * 0.5)
+
+            onehot_t = (tbl_iota == idx_s[None, :]).astype(jnp.float32)
+            at = jax.lax.dot_general(
+                table_t, onehot_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
+            s1 = jax.nn.sigmoid((at[3] * cz + at[4] * cy + at[5]) / tau_e)
+            s2 = jax.nn.sigmoid((at[6] * cz + at[7] * cy + at[8]) / tau_e)
+            cov = s0 * s1 * s2
+            w_s = at[12] * cov
+            xh = at[9] - at[10] * cy - at[11] * cz
+
+            onehot = (cell_iota == cells_s[None, :]).astype(jnp.float32)
+            pg = jax.lax.dot_general(
+                onehot, g_tile,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, N)
+            sig = jax.nn.sigmoid((xh[:, None] - cx) / tau_x)
+            dw = jnp.sum(pg * sig, axis=1)                       # (128,)
+            dxh = (w_s / tau_x) * jnp.sum(pg * sig * (1.0 - sig), axis=1)
+
+            dcov = dw * at[12]
+            dwmul = dw * cov
+            de0 = dcov * cov * (1.0 - s0) / tau_e
+            de1 = dcov * cov * (1.0 - s1) / tau_e
+            de2 = dcov * cov * (1.0 - s2) / tau_e
+            dattrs = jnp.concatenate([
+                (de0 * cz)[None, :], (de0 * cy)[None, :], de0[None, :],
+                (de1 * cz)[None, :], (de1 * cy)[None, :], de1[None, :],
+                (de2 * cz)[None, :], (de2 * cy)[None, :], de2[None, :],
+                dxh[None, :], (-dxh * cy)[None, :], (-dxh * cz)[None, :],
+                dwmul[None, :],
+                jnp.zeros((3, TB_LANE), jnp.float32),
+            ], axis=0)  # (16, 128)
+            dtab += jax.lax.dot_general(
+                dattrs, onehot_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16, TBL)
+        dtab_ref[0] = dtab
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp around the kernel pair (tables -> occupancy)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fused_accumulate(tables_t, plan, prm):
+    return _fused_fwd_call(tables_t, plan, prm)
+
+
+def _static_args(plan):
+    return (
+        jnp.asarray(plan.batch_tile, jnp.int32),
+        jnp.asarray(plan.flags, jnp.int32),
+        jnp.asarray(plan.cells_b, jnp.int32),
+        jnp.asarray(plan.tblidx_b, jnp.int32),
+    )
+
+
+def _fused_fwd_call(tables_t, plan, prm):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, tc, tbl = plan.spec.n, plan.tc, plan.tbl
+    tb_sub = plan.tb_sub
+    num_batches = plan.num_batches
+    num_tiles = (n * n) // tc
+    bt, fl, cb, ib = _static_args(plan)
+    pr = jnp.asarray(np.asarray(prm, np.float32))
+    slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    tiles = pl.pallas_call(
+        _fused_fwd_kernel(n, tc, tb_sub, tbl),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_batches,),
+            in_specs=[
+                slot, slot,
+                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tc, n),
+                                   lambda b, bt, fl: (bt[b], 0, 0)),
+            scratch_shapes=[pltpu.VMEM((tc, n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tc, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(bt, fl, cb, ib, tables_t, pr)
+    tiles = jnp.where(jnp.asarray(plan.tile_mask)[:, None, None], tiles, 0.0)
+    return tiles.reshape(n, n, n)
+
+
+def _fused_fwd_rule(tables_t, plan, prm):
+    return _fused_fwd_call(tables_t, plan, prm), (tables_t,)
+
+
+def _fused_bwd_rule(plan, prm, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (tables_t,) = res
+    n, tc, tbl = plan.spec.n, plan.tc, plan.tbl
+    tb_sub = plan.tb_sub
+    num_batches = plan.num_batches
+    g_tiles = g.reshape((n * n) // tc, tc, n)
+    bt, fl, cb, ib = _static_args(plan)
+    pr = jnp.asarray(np.asarray(prm, np.float32))
+    slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    dtab = pl.pallas_call(
+        _fused_bwd_kernel(n, tc, tb_sub, tbl),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_batches,),
+            in_specs=[
+                slot, slot,
+                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tc, n), lambda b, bt, fl: (bt[b], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, NATTR, tbl),
+                                   lambda b, *_: (b, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_batches, NATTR, tbl),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(bt, fl, cb, ib, tables_t, pr, g_tiles)
+    return (dtab,)
+
+
+_fused_accumulate.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Plan (all static host-side layout)
+# ---------------------------------------------------------------------------
+
+
+class FusedSoftPlan:
+    """Static (tile, triangle) batch layout + per-batch triangle tables.
+
+    Built from a `make_soft_plan` FragmentPlan. Fragments (candidate
+    raster cells) are ordered by (tile, face, cell); batches are greedy
+    cuts respecting BOTH the slot budget (tb_sub * 128) and the unique-
+    triangle budget (tbl) per batch. Everything here is integer layout —
+    no traced data."""
+
+    def __init__(self, soft_plan, tc: int = 128, tb_sub: int = 4,
+                 tbl: int = 256):
+        spec = soft_plan.spec
+        n = spec.n
+        if (n * n) % tc != 0:
+            raise ValueError("n*n must divide tile cells")
+        self.spec = spec
+        self.soft_plan = soft_plan
+        self.tc = tc
+        self.tb_sub = tb_sub
+        self.tbl = tbl
+        tb = tb_sub * TB_LANE
+
+        cells_l, faces_l = [], []
+        for bucket in soft_plan.buckets:
+            window = bucket[0]
+            sy = np.asarray(bucket[4])
+            sz = np.asarray(bucket[5])
+            fi = np.asarray(bucket[6])
+            dy = np.arange(window)[None, None, :]
+            dz = np.arange(window)[None, :, None]
+            ys = sy[:, None, None] + dy
+            zs = sz[:, None, None] + dz
+            ok = (ys >= 0) & (ys < n) & (zs >= 0) & (zs < n)
+            cell = np.where(ok, zs * n + ys, -1)
+            cells_l.append(cell.reshape(fi.shape[0], -1))
+            faces_l.append(np.broadcast_to(
+                fi[:, None], (fi.shape[0], window * window)))
+        if cells_l:
+            cells = np.concatenate([c.reshape(-1) for c in cells_l])
+            faces = np.concatenate([f.reshape(-1) for f in faces_l])
+        else:
+            cells = np.zeros((0,), np.int64)
+            faces = np.zeros((0,), np.int64)
+        keep = cells >= 0
+        cells = cells[keep].astype(np.int64)
+        faces = faces[keep].astype(np.int64)
+
+        tile = cells // tc
+        order = np.lexsort((cells, faces, tile))
+        cells = cells[order]
+        faces = faces[order]
+        tile = tile[order]
+        f_total = cells.size
+
+        # Pair (= unique (tile, face) run) boundaries.
+        if f_total:
+            newpair = np.empty(f_total, bool)
+            newpair[0] = True
+            newpair[1:] = (tile[1:] != tile[:-1]) | (faces[1:] != faces[:-1])
+            pair_start = np.nonzero(newpair)[0]
+            pair_end = np.append(pair_start[1:], f_total)
+            pair_tile = tile[pair_start]
+            pair_face = faces[pair_start]
+            pair_size = pair_end - pair_start
+        else:
+            pair_start = pair_end = pair_tile = pair_face = pair_size = (
+                np.zeros((0,), np.int64))
+        num_pairs = pair_start.size
+
+        # Greedy batch cuts: same tile, <= tb slots, <= tbl uniques.
+        batches = []  # (tile, first_pair, last_pair_exclusive)
+        i = 0
+        while i < num_pairs:
+            t = pair_tile[i]
+            budget = tb
+            j = i
+            while (j < num_pairs and pair_tile[j] == t and j - i < tbl
+                   and pair_size[j] <= budget):
+                budget -= pair_size[j]
+                j += 1
+            if j == i:  # single pair larger than tb (cannot happen: <= tc)
+                raise AssertionError("pair exceeds batch capacity")
+            batches.append((int(t), int(i), int(j)))
+            i = j
+
+        num_tiles = (n * n) // tc
+        if not batches:
+            batches = [(0, 0, 0)]
+        bcount = len(batches)
+        cells_b = np.full((bcount, tb), -1, np.int32)
+        tblidx_b = np.zeros((bcount, tb), np.int32)
+        table_face = np.full((bcount, tbl), -1, np.int64)
+        batch_tile = np.zeros(bcount, np.int32)
+        for bi, (t, p0, p1) in enumerate(batches):
+            batch_tile[bi] = t
+            if p1 == p0:
+                continue
+            f0 = pair_start[p0]
+            f1 = pair_end[p1 - 1]
+            cnt = int(f1 - f0)
+            cells_b[bi, :cnt] = (cells[f0:f1] % tc).astype(np.int32)
+            # table slot = pair rank within batch
+            pr = np.searchsorted(pair_start[p0:p1], np.arange(f0, f1),
+                                 side="right") - 1
+            tblidx_b[bi, :cnt] = pr.astype(np.int32)
+            table_face[bi, :p1 - p0] = pair_face[p0:p1]
+
+        first = np.empty(bcount, bool)
+        first[0] = True
+        first[1:] = batch_tile[1:] != batch_tile[:-1]
+        last = np.empty(bcount, bool)
+        last[-1] = True
+        last[:-1] = batch_tile[:-1] != batch_tile[1:]
+        self.flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+        self.batch_tile = batch_tile
+        self.cells_b = cells_b.reshape(bcount, tb_sub, TB_LANE)
+        self.tblidx_b = tblidx_b.reshape(bcount, tb_sub, TB_LANE)
+        tm = np.zeros(num_tiles, bool)
+        tm[batch_tile] = (np.array([p1 > p0 for _, p0, p1 in batches])
+                          if f_total else False)
+        self.tile_mask = tm
+        self.num_batches = bcount
+        self.num_pairs = int(num_pairs)
+        self.num_fragments = int(f_total)
+        # Flat face ids for the table gather: -1 -> T (a zero row).
+        self.table_face_flat = table_face.reshape(-1).astype(np.int64)
+
+
+def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
+                        tau_edge_frac: float = 0.25,
+                        tau_x_frac: float = 0.5, clip: bool = True):
+    """Differentiable occupancy via the fused coefficient-table engine.
+
+    Same semantics as `voxtpu.ops.soft_vox.soft_voxelize` (x_hit is
+    algebraically identical but distributes the 1/A division, so values
+    agree to float32 rounding rather than bit-exactly)."""
+    spec = plan.spec
+    sp = plan.soft_plan
+    vs = spec.voxel_size
+    tau_e = tau_edge_frac * vs * vs
+    tau_x = tau_x_frac * vs
+
+    tri = coords[sp.faces_array]                    # (T, 3, 3)
+    coeffs = triangle_coeffs(tri)                   # (T, 16)
+    coeffs = jnp.concatenate(
+        [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
+    fidx = jnp.asarray(
+        np.where(plan.table_face_flat < 0, coeffs.shape[0] - 1,
+                 plan.table_face_flat).astype(np.int32))
+    tables = jnp.take(coeffs, fidx, axis=0)         # (B*TBL, 16)
+    tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
+    tables_t = jnp.swapaxes(tables_t, 1, 2)         # (B, 16, TBL)
+
+    prm = (float(spec.origin[0]), float(spec.origin[1]),
+           float(spec.origin[2]), float(vs), float(tau_e), float(tau_x))
+    occ = _fused_accumulate(tables_t, plan, prm)
+    if clip:
+        occ = jnp.clip(occ, 0.0, 1.0)
+    return occ

@@ -157,17 +157,22 @@ def _run_we(cells, ws, masks, cnts, batch_tile, flags, *,
 
 @functools.partial(jax.jit, static_argnames=("n", "tc"))
 def _build_events(cells, xs, *, n: int, tc: int):
-    """Device-side fragment -> word-event reduction.
+    """Device-side fragment -> word-event reduction — ONE jit call.
+
+    (Every eager op here would pay a full tunnel round-trip on the
+    remote TPU; the whole prep fuses into a single dispatch and only
+    the per-tile bounds array crosses to the host.)
 
     Sorts fragments by (cell, word), XORs in-word masks and counts
     fragments per (cell, word) segment, and compacts one event per
     segment to the front (positions of segment starts/ends are
     themselves compacted by sorts — no big gathers beyond the final
-    event pickup, and nothing large crosses to the host).
+    event pickup).
 
-    Returns (cell_e, w_e, mask_e, cnt_e, tile_e, num_events_dev), all
-    length F with valid events first; the padding carries the sentinel
-    cell n*n (tile == num_tiles, past every batch probe).
+    Returns (local_e, w_e, mask_e, cnt_e, bounds, num_events_dev):
+    event arrays of length F with valid events first (padding carries
+    local cell -1 / word -1 / zero mask), per-tile event ranges
+    `bounds` (num_tiles + 1), and the valid-event count.
     """
     f = cells.shape[0]
     wf = jnp.minimum(xs // WORD_BITS, n // WORD_BITS - 1)
@@ -206,7 +211,13 @@ def _build_events(cells, xs, *, n: int, tc: int):
     mask_e = jnp.where(invalid, jnp.uint32(0), mask_e)
     cnt_e = jnp.where(invalid, 0, cnt_e)
     num_events = jnp.sum(start & valid_s, dtype=jnp.int32)
-    return cell_e, w_e, mask_e, cnt_e, num_events
+
+    num_tiles = (n * n) // tc
+    tile_key = jnp.minimum(cell_e // tc, num_tiles)
+    probes = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_key, probes).astype(jnp.int32)
+    local_e = jnp.where(cell_e < n * n, cell_e % tc, -1)
+    return local_e, w_e, mask_e, cnt_e, bounds, num_events
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -252,14 +263,11 @@ class WordEventVoxPlan:
                 frag_plan = FragmentPlan(mesh, spec)
             fragments = fragments_from_plan(frag_plan)
         cells, xs = (jnp.asarray(a) for a in fragments)
-        cell_e, w_e, mask_e, cnt_e, n_ev = _build_events(
+        local_e, w_e, mask_e, cnt_e, bounds_d, n_ev = _build_events(
             cells, xs, n=n, tc=tc
         )
-        # Events arrive sorted by cell; per-tile ranges via searchsorted
-        # over tile keys. Tiny D2H: (num_tiles + 1) int32.
-        tile_key = jnp.minimum(cell_e // tc, num_tiles)
-        probes = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        bounds = np.asarray(jnp.searchsorted(tile_key, probes))
+        # Tiny D2H: the (num_tiles + 1) bounds + one scalar.
+        bounds = np.asarray(bounds_d)
         self.num_events = int(np.asarray(n_ev))
         self.num_fragments = int(cells.shape[0])
 
@@ -269,7 +277,6 @@ class WordEventVoxPlan:
         bcount = len(batch_tiles)
         starts = jnp.asarray(starts_h.astype(np.int32))
         ends = jnp.asarray(ends_h.astype(np.int32))
-        local_e = jnp.where(cell_e < n * n, cell_e % tc, -1)
         cells_b, w_b, mask_b, cnt_b = _gather_event_batches(
             local_e, w_e, mask_e, cnt_e, starts, ends, tb=tb
         )
