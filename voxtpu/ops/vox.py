@@ -177,6 +177,19 @@ def emit_fragments(v0, v1, v2, start_y, start_z, *, window: int, n: int,
 # ---------------------------------------------------------------------------
 
 
+def _cumxor(x):
+    """Inclusive XOR prefix scan via Hillis-Steele doubling (log2 N
+    static shifted-XOR passes). `lax.associative_scan(bitwise_xor)` at
+    ~8M elements never finishes compiling on the tunneled TPU — plain
+    pad/slice/xor ops lower instantly everywhere."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x ^ jnp.concatenate([jnp.zeros((s,), x.dtype), x[:-s]])
+        s *= 2
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def resolve_fragments(cells, x_entry, *, n: int):
     """Combine fragments into packed occupancy words (N, N, N/32).
@@ -211,7 +224,7 @@ def resolve_fragments(cells, x_entry, *, n: int):
     probes = jnp.arange(n * n * num_words + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(cw, probes).astype(jnp.int32)
 
-    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_own)  # inclusive
+    scan = _cumxor(mask_own)  # inclusive
     scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
     inword = (scan0[bounds[1:]] ^ scan0[bounds[:-1]]).reshape(-1, num_words)
 

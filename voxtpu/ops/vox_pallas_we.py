@@ -189,7 +189,9 @@ def _build_events(cells, xs, *, n: int, tc: int):
     end = jnp.roll(start, -1)  # segment ends: next position starts anew
 
     # Exclusive XOR prefix -> segment XOR = P[end+1] ^ P[start].
-    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_s)
+    from voxtpu.ops.vox import _cumxor
+
+    scan = _cumxor(mask_s)
     p_excl = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
 
     big = jnp.int32(f)

@@ -75,7 +75,9 @@ def _resolve_slab(cells, x_entry, *, n: int, slab: int):
     bounds = jnp.searchsorted(cw, probes).astype(jnp.int32)
 
     mask_own = jnp.uint32(0xFFFFFFFF) << bf.astype(jnp.uint32)
-    scan = jax.lax.associative_scan(jnp.bitwise_xor, mask_own)
+    from voxtpu.ops.vox import _cumxor
+
+    scan = _cumxor(mask_own)
     scan0 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
     inword = (scan0[bounds[1:]] ^ scan0[bounds[:-1]]).reshape(-1, num_words)
     b2 = bounds[:-1].reshape(-1, num_words)
