@@ -26,6 +26,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--engine", default="xla",
+                    choices=["xla", "pallas", "fused"],
+                    help="soft-voxelization engine (fused = fastest on TPU)")
     ap.add_argument("--out", default=None, help="export fitted mesh .obj")
     args = ap.parse_args()
 
@@ -54,7 +57,7 @@ def main() -> int:
              faces_normals=mesh.faces_normals),
         spec, pad_window=2,
     )
-    fit = VoxelFit(plan, target, learning_rate=args.lr)
+    fit = VoxelFit(plan, target, learning_rate=args.lr, engine=args.engine)
     state = fit.init(noisy)
     l0 = float(fit.loss(state.coords))
     metrics = {"loss": l0, "grad_norm": float("nan")}

@@ -106,3 +106,25 @@ def test_fused_batch_capacity_invariants(sphere_mesh):
         assert (idx[valid] < fp.tbl).all()
         # slots of one batch all belong to the batch's tile
         assert (cells[valid] < fp.tc).all()
+
+
+def test_voxelfit_fused_engine_improves(sphere_mesh):
+    """The flagship fit loop must run (and descend) on the fused engine."""
+    from voxtpu.models.fit import VoxelFit
+    from voxtpu.ops.vox import voxelize
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(
+        jnp.float32)
+    rng = np.random.default_rng(0)
+    noisy = sphere_mesh.coords + rng.normal(
+        0, 0.01, sphere_mesh.coords.shape).astype(np.float32)
+    plan = make_soft_plan(
+        Mesh(name="noisy", coords=noisy, faces=sphere_mesh.faces,
+             faces_normals=sphere_mesh.faces_normals), spec, pad_window=2)
+    fit = VoxelFit(plan, target, learning_rate=5e-3, engine="fused")
+    state = fit.init(noisy)
+    l0 = float(fit.loss(state.coords))
+    for _ in range(5):
+        state, metrics = fit.step(state)
+    assert float(metrics["loss"]) < l0

@@ -89,12 +89,14 @@ class VoxelFit:
         loss_fn: Callable = soft_iou_loss,
         refresh_every: int = 8,
         drift_limit_frac: float = 0.5,
+        engine: str = "xla",
     ):
         self.plan = plan
         self.target = jnp.asarray(target_occ, jnp.float32)
         self.optimizer = optax.adam(learning_rate)
         self._tau = (tau_edge_frac, tau_x_frac)
         self._loss_fn = loss_fn
+        self.engine = engine  # xla | pallas | fused
         self.refresh_every = refresh_every
         self.drift_limit_vox = drift_limit_frac * getattr(plan, "pad_window", 1)
         self.refresh_count = 0
@@ -104,12 +106,29 @@ class VoxelFit:
         self._rebuild_step()
 
     def _rebuild_step(self):
+        te, tx = self._tau
+        if self.engine == "fused":
+            from voxtpu.ops.soft_vox_fused import (FusedSoftPlan,
+                                                   soft_voxelize_fused)
+
+            eplan = FusedSoftPlan(self.plan)
+            fwd = lambda c: soft_voxelize_fused(c, eplan, tau_edge_frac=te,
+                                                tau_x_frac=tx)
+        elif self.engine == "pallas":
+            from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
+                                                    soft_voxelize_pallas)
+
+            eplan = SoftPallasPlan(self.plan)
+            fwd = lambda c: soft_voxelize_pallas(c, eplan, tau_edge_frac=te,
+                                                 tau_x_frac=tx)
+        elif self.engine == "xla":
+            fwd = lambda c: soft_voxelize(c, self.plan, tau_edge_frac=te,
+                                          tau_x_frac=tx)
+        else:
+            raise ValueError(f"unknown engine {self.engine!r}")
+
         def loss(coords):
-            occ = soft_voxelize(
-                coords, self.plan,
-                tau_edge_frac=self._tau[0], tau_x_frac=self._tau[1],
-            )
-            return self._loss_fn(occ, self.target)
+            return self._loss_fn(fwd(coords), self.target)
 
         self._loss = loss
         self._adam_step = make_adam_step(loss, self.optimizer)
