@@ -150,7 +150,10 @@ def main() -> int:
         return _bench_other(op, mesh, spec, backend, n, iters)
 
     t0 = time.time()
-    if backend == "pallas" and (n >= 2048 or os.environ.get("BENCH_WE") == "1"):
+    # The word-event kernel is the default pallas path (bit-identical,
+    # faster at every measured size); BENCH_WE=0 benches the suffix
+    # kernel instead.
+    if backend == "pallas" and os.environ.get("BENCH_WE", "1") == "1":
         backend = "pallas_we"
     if backend == "pallas_we":
         from voxtpu.ops.vox_pallas_we import WordEventVoxPlan, _we_words

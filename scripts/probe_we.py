@@ -28,7 +28,7 @@ def main():
     tb_sub = int(os.environ.get("PROBE_TB", "4"))
     iters = int(os.environ.get("PROBE_ITERS", "10"))
 
-    from bench import subdivide
+    from bench import subdivide, subdivide_to
     from voxtpu.grids.voxel_grid import GridSpec, _popcount32
     from voxtpu.mesh.mesh import Mesh
     from voxtpu.mesh.obj_io import import_mesh
@@ -37,7 +37,11 @@ def main():
     from voxtpu.utils.timing import time_device_fn
 
     mesh = import_mesh("/root/reference/assets/bunny.obj")
-    coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+    target_faces = int(os.environ.get("PROBE_FACES", "0"))
+    if target_faces:
+        coords, faces = subdivide_to(mesh.coords, mesh.faces, target_faces)
+    else:
+        coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
     mesh = Mesh(name="bunny_sub", coords=coords, faces=faces,
                 faces_normals=faces)
     spec = GridSpec.fit(mesh.coords, n)

@@ -130,12 +130,14 @@ def _run_pipeline(args, filenames) -> int:
         if backend in ("xla", "pallas"):
             with ProfilingScope(f"{vox_label}::planning"):
                 if backend == "pallas":
-                    from voxtpu.ops.vox_pallas import TILE_CELLS, PallasVoxPlan
+                    from voxtpu.ops.vox_pallas_we import (TILE_CELLS,
+                                                          WordEventVoxPlan)
 
                     # -b sets the kernel tile rows (the reference's block
-                    # size flag, `apps/cli/main.cpp:60`).
+                    # size flag, `apps/cli/main.cpp:60`); the word-event
+                    # kernel is the default pallas path.
                     tc = args.block_size or TILE_CELLS
-                    plan = PallasVoxPlan(mesh, spec, tc=tc)
+                    plan = WordEventVoxPlan(mesh, spec, tc=tc)
                 else:
                     from voxtpu.ops.vox import FragmentPlan
 

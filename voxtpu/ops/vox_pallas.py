@@ -334,22 +334,19 @@ def _pallas_words(local_cells, xs, batch_tile, flags, batch_xseg, tile_mask,
 
 def voxelize_pallas(mesh: Mesh, spec: GridSpec,
                     plan: "PallasVoxPlan | FragmentPlan | None" = None) -> VoxelGrid:
-    """Solid voxelization on TPU via the tiled Pallas kernel.
+    """Solid voxelization on TPU via the tiled Pallas kernels.
 
-    Two kernels share this entry point: the suffix-fill kernel (this
-    module) up to 1024^3, and the word-event kernel
-    (`voxtpu.ops.vox_pallas_we`) from 2048^3, where per-fragment
-    full-width fills stop paying for themselves (BENCH_NOTES.md). Pass
-    an explicit plan of either type to force a kernel.
+    Two kernels share this entry point; the word-event kernel
+    (`voxtpu.ops.vox_pallas_we`) is the default — bit-identical to this
+    module's suffix-fill kernel and faster at every measured size (1.1x
+    at 256^3 growing to 2.4x at 2048^3, BENCH_NOTES.md). Pass an
+    explicit `PallasVoxPlan` to force the suffix kernel (e.g. for
+    comparison sweeps).
     """
     from voxtpu.ops.vox_pallas_we import WordEventVoxPlan, voxelize_pallas_we
 
-    if isinstance(plan, WordEventVoxPlan):
+    if plan is None or isinstance(plan, (FragmentPlan, WordEventVoxPlan)):
         return voxelize_pallas_we(mesh, spec, plan=plan)
-    if (plan is None or isinstance(plan, FragmentPlan)) and spec.n >= 2048:
-        return voxelize_pallas_we(mesh, spec, plan=plan)
-    if plan is None or isinstance(plan, FragmentPlan):
-        plan = PallasVoxPlan(mesh, spec, frag_plan=plan)
     words = _pallas_words(
         plan.local_cells, plan.xs, plan.batch_tile, plan.flags,
         plan.batch_xseg, plan.tile_mask,
