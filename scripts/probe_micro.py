@@ -35,7 +35,7 @@ def main():
     def row_gather(tab, ix):
         return jnp.take(tab, ix, axis=0)
 
-    dt = time_device_fn(row_gather, table, idx, iters=20)
+    dt = time_device_fn(row_gather, table, idx, iters=int(os.environ.get("MICRO_ITERS", "3")), repeats=2)
     gb = p * 16 * 4 / dt / 1e9
     print(f"row-gather ({p}x16 f32 rows): {dt*1e3:.3f} ms = {gb:.1f} GB/s")
 
@@ -46,7 +46,7 @@ def main():
     def elem_gather(a, ix):
         return a[ix]
 
-    dt = time_device_fn(elem_gather, big, eidx, iters=10)
+    dt = time_device_fn(elem_gather, big, eidx, iters=2, repeats=2)
     print(f"elem-gather ({8*p} f32): {dt*1e3:.3f} ms = "
           f"{8*p*4/dt/1e9:.1f} GB/s")
 
@@ -58,22 +58,30 @@ def main():
     def wide_sort(k, *ls):
         return jax.lax.sort((k, *ls), num_keys=1)
 
-    dt = time_device_fn(wide_sort, key, *lanes, iters=10)
+    dt = time_device_fn(wide_sort, key, *lanes, iters=int(os.environ.get("MICRO_ITERS", "3")), repeats=2)
     print(f"17-lane sort ({p} rows): {dt*1e3:.3f} ms")
 
     @jax.jit
     def seg_fill(flag, *ls):
-        # forward-fill: carry last flagged row through runs
-        def op(a, b):
-            af, av = a
-            bf, bv = b
-            return (af | bf, tuple(jnp.where(bf, y, x) for x, y in zip(av, bv)))
-        f, vals = jax.lax.associative_scan(
-            op, (flag, tuple(ls)))
-        return vals
+        # forward-fill via Hillis-Steele doubling, capped at 3 passes
+        # (table runs are <= 8 rows; associative_scan hangs compiling
+        # at these sizes on this TPU)
+        vals = list(ls)
+        filled = flag
+        for shift in (1, 2, 4):
+            fs = jnp.concatenate([jnp.zeros((shift,), bool), filled[:-shift]])
+            take = ~filled & fs
+            for i, v in enumerate(vals):
+                sv = jnp.concatenate([jnp.zeros((shift,), v.dtype),
+                                      v[:-shift]])
+                vals[i] = jnp.where(take, sv, v)
+            filled = filled | fs
+        return tuple(vals)
 
     flag = jnp.asarray(rng.random(p) < 0.3)
-    dt = time_device_fn(seg_fill, flag, *lanes, iters=10)
+    dt = time_device_fn(seg_fill, flag, *lanes,
+                        iters=int(os.environ.get("MICRO_ITERS", "3")),
+                        repeats=2)
     print(f"16-lane segmented fill ({p} rows): {dt*1e3:.3f} ms")
 
 

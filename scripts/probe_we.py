@@ -53,9 +53,16 @@ def main():
     print(f"# we plan: events={plan.num_events} fragments={plan.num_fragments}"
           f" batches={plan.num_batches} prep={time.time()-t0:.1f}s", flush=True)
 
+    slice_out = os.environ.get("PROBE_SLICE") == "1"
+
     def run_we(*args):
-        return _we_words(*args, n=n, num_tiles=plan.num_tiles, tc=plan.tc,
-                         tb_sub=plan.tb_sub)
+        w = _we_words(*args, n=n, num_tiles=plan.num_tiles, tc=plan.tc,
+                      tb_sub=plan.tb_sub)
+        # At 4096^3 the packed grid is 8.6 GB; returning a tiny slice
+        # keeps each timed execution's output a scalar-sized buffer (the
+        # full grid is an execution-local temp), so the differential
+        # timer's in-flight queue can't exhaust HBM.
+        return w[:1, :1, :1] if slice_out else w
 
     we_args = (plan.cells, plan.ws, plan.masks, plan.cnts, plan.batch_tile,
                plan.flags, plan.tile_mask)
@@ -66,9 +73,15 @@ def main():
             jnp.sum(_popcount32(words), axis=(1, 2), dtype=jnp.int32)
             .astype(jnp.float32))
 
-    words_we = run_we(*we_args)
+    def full_we(*args):
+        return _we_words(*args, n=n, num_tiles=plan.num_tiles, tc=plan.tc,
+                         tb_sub=plan.tb_sub)
+
+    words_we = full_we(*we_args)
     pc_we = float(popcount(words_we))
-    print(f"# we popcount = {pc_we:.0f}", flush=True)
+    print(f"# we popcount = {pc_we:.0f} "
+          f"({pc_we / n**3 * 100:.2f}% of {n}^3)", flush=True)
+    del words_we
 
     if cmp_suffix:
         from voxtpu.ops.vox_pallas import PallasVoxPlan, _pallas_words
@@ -93,13 +106,12 @@ def main():
                 jnp.sum(_popcount32(a ^ b), axis=(1, 2), dtype=jnp.int32)
                 .astype(jnp.float32))
 
-        print(f"# xor-diff bits vs suffix kernel: {float(diffbits(words_we, words_s)):.0f}",
-              flush=True)
+        print(f"# xor-diff bits vs suffix kernel: "
+              f"{float(diffbits(full_we(*we_args), words_s)):.0f}", flush=True)
         del words_s
         dt_s = time_device_fn(run_sfx, *s_args, iters=iters)
         print(f"suffix kernel: {dt_s*1e3:.3f} ms  "
               f"({n**3/dt_s/1e9:.1f} Gvox/s)", flush=True)
-    del words_we
 
     dt = time_device_fn(run_we, *we_args, iters=iters)
     print(f"we kernel: {dt*1e3:.3f} ms  ({n**3/dt/1e9:.1f} Gvox/s)", flush=True)

@@ -328,6 +328,41 @@ _fused_accumulate.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# Table expansion with a gather-transpose VJP
+# ---------------------------------------------------------------------------
+#
+# jnp.take's automatic VJP is a scatter-add — measured ~710 ms for the
+# (B*TBL, 16) -> (T, 16) reduction at 256^3 / 1.35M faces (TPU scatter
+# runs at element-gather speed, ~0.3 GB/s). ROW gathers run at ~10 GB/s,
+# so the transpose is computed as max_k static gathers instead: slot
+# positions of each face are static plan data; dcoeffs[f] is the sum of
+# g over the <= max_k slots of face f (missing slots hit a dummy zero
+# row). 8 x 86 MB gathers beat one 500 MB scatter by ~10x.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _expand_rows(coeffs_ext, plan):
+    """(T+1, 16) coefficient rows -> (B*TBL, 16) table slots."""
+    return jnp.take(coeffs_ext, plan._fidx(), axis=0)
+
+
+def _expand_fwd(coeffs_ext, plan):
+    return _expand_rows(coeffs_ext, plan), None
+
+
+def _expand_bwd(plan, _res, g):
+    g_ext = jnp.concatenate([g, jnp.zeros((1, NATTR), g.dtype)], axis=0)
+    acc = jnp.zeros((plan.num_faces, NATTR), g.dtype)
+    for j in range(plan.bwd_pos.shape[0]):
+        acc = acc + jnp.take(g_ext, plan._bwd_pos(j), axis=0)
+    # The appended zero row's cotangent is discarded by the caller.
+    return (jnp.concatenate([acc, jnp.zeros((1, NATTR), g.dtype)], axis=0),)
+
+
+_expand_rows.defvjp(_expand_fwd, _expand_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Plan (all static host-side layout)
 # ---------------------------------------------------------------------------
 
@@ -458,6 +493,43 @@ class FusedSoftPlan:
         self.num_fragments = int(f_total)
         # Flat face ids for the table gather: -1 -> T (a zero row).
         self.table_face_flat = table_face.reshape(-1).astype(np.int64)
+        self.num_faces = int(np.asarray(soft_plan.faces_array).shape[0])
+
+        # Static transpose of the slot->face map for the gather-based
+        # VJP: bwd_pos[j, f] = position of face f's j-th table slot in
+        # the flat (B*TBL) layout, or B*TBL (a zero row) when the face
+        # has fewer slots. max_k = most tiles any one face's raster
+        # window overlaps.
+        flat = self.table_face_flat
+        p_total = flat.size
+        order = np.argsort(flat, kind="stable")  # -1 pads sort first
+        of = flat[order]
+        valid0 = int(np.searchsorted(of, 0))
+        vo = order[valid0:]
+        vf = of[valid0:]
+        t_faces = self.num_faces
+        starts = np.searchsorted(vf, np.arange(t_faces + 1))
+        counts = np.diff(starts)
+        max_k = int(counts.max()) if counts.size else 0
+        pos = np.full((max(max_k, 1), t_faces), p_total, np.int32)
+        if vo.size:
+            rank = np.arange(vo.size) - starts[vf]
+            pos[rank, vf] = vo
+        self.bwd_pos = pos
+        self._dev_cache = {}
+
+    def _fidx(self):
+        if "fidx" not in self._dev_cache:
+            self._dev_cache["fidx"] = jnp.asarray(
+                np.where(self.table_face_flat < 0, self.num_faces,
+                         self.table_face_flat).astype(np.int32))
+        return self._dev_cache["fidx"]
+
+    def _bwd_pos(self, j):
+        key = ("pos", j)
+        if key not in self._dev_cache:
+            self._dev_cache[key] = jnp.asarray(self.bwd_pos[j])
+        return self._dev_cache[key]
 
 
 def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
@@ -478,10 +550,7 @@ def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
     coeffs = triangle_coeffs(tri)                   # (T, 16)
     coeffs = jnp.concatenate(
         [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
-    fidx = jnp.asarray(
-        np.where(plan.table_face_flat < 0, coeffs.shape[0] - 1,
-                 plan.table_face_flat).astype(np.int32))
-    tables = jnp.take(coeffs, fidx, axis=0)         # (B*TBL, 16)
+    tables = _expand_rows(coeffs, plan)             # (B*TBL, 16)
     tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
     tables_t = jnp.swapaxes(tables_t, 1, 2)         # (B, 16, TBL)
 
