@@ -292,12 +292,17 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
         soft_plan = make_soft_plan(mesh, spec)
         target = grid.to_dense().astype(jnp.float32)
 
+        aux = ()
         if backend == "fused":
             from voxtpu.ops.soft_vox_fused import (FusedSoftPlan,
                                                    soft_voxelize_fused)
 
+            # pytree plan: passed as a jit ARGUMENT (closure capture
+            # embeds the layout arrays as HLO constants and overflows
+            # the remote-compile request at 1.35M faces)
             plan = FusedSoftPlan(soft_plan)
-            fwd = lambda c: soft_voxelize_fused(c, plan)
+            aux = (plan,)
+            fwd = lambda c, p: soft_voxelize_fused(c, p)
         elif backend == "pallas":
             from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
                                                     soft_voxelize_pallas)
@@ -309,14 +314,14 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
             fwd = lambda c: soft_voxelize(c, plan)
 
         @_jax.jit
-        def fwd_bwd(coords, target):
+        def fwd_bwd(coords, target, *a):
             def loss(c):
-                return soft_iou_loss(fwd(c), target)
+                return soft_iou_loss(fwd(c, *a), target)
 
             return _jax.value_and_grad(loss)(coords)
 
         coords = jnp.asarray(mesh.coords)
-        dt = time_device_fn(fwd_bwd, coords, target, iters=iters)
+        dt = time_device_fn(fwd_bwd, coords, target, *aux, iters=iters)
         mvox = n**3 / dt / 1e6
         out = {
             "metric": f"soft_vox_fwd_bwd_mvox_per_s_{n}c_{mesh.num_faces}f",

@@ -36,11 +36,15 @@ def soft_iou_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def make_adam_step(loss_fn: Callable, optimizer):
     """Shared jitted train step over any optax-compatible params pytree:
-    returns (params, opt_state, {loss, grad_norm})."""
+    returns (params, opt_state, {loss, grad_norm}).
+
+    Extra pytree arguments of `loss_fn` (e.g. a FusedSoftPlan) are
+    passed through `step(params, opt_state, *aux)` — as jit ARGUMENTS,
+    so large static layout arrays don't embed as program constants."""
 
     @jax.jit
-    def step(params, opt_state):
-        value, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, *aux):
+        value, grads = jax.value_and_grad(loss_fn)(params, *aux)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {
@@ -107,13 +111,16 @@ class VoxelFit:
 
     def _rebuild_step(self):
         te, tx = self._tau
+        aux = ()
         if self.engine == "fused":
             from voxtpu.ops.soft_vox_fused import (FusedSoftPlan,
                                                    soft_voxelize_fused)
 
-            eplan = FusedSoftPlan(self.plan)
-            fwd = lambda c: soft_voxelize_fused(c, eplan, tau_edge_frac=te,
-                                                tau_x_frac=tx)
+            # The plan is a pytree passed as a step ARGUMENT (closure
+            # capture would embed its layout arrays as HLO constants).
+            aux = (FusedSoftPlan(self.plan),)
+            fwd = lambda c, p: soft_voxelize_fused(c, p, tau_edge_frac=te,
+                                                   tau_x_frac=tx)
         elif self.engine == "pallas":
             from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
                                                     soft_voxelize_pallas)
@@ -127,10 +134,11 @@ class VoxelFit:
         else:
             raise ValueError(f"unknown engine {self.engine!r}")
 
-        def loss(coords):
-            return self._loss_fn(fwd(coords), self.target)
+        def loss(coords, *a):
+            return self._loss_fn(fwd(coords, *a), self.target)
 
-        self._loss = loss
+        self._loss_aux = aux
+        self._loss = lambda c: loss(c, *aux)
         self._adam_step = make_adam_step(loss, self.optimizer)
 
     def drift_voxels(self, coords) -> jnp.ndarray:
@@ -156,8 +164,8 @@ class VoxelFit:
         self._steps_seen += 1
         if self.refresh_every and self._steps_seen % self.refresh_every == 0:
             self.maybe_refresh_plan(state)
-        coords, opt_state, metrics = self._adam_step(state.coords,
-                                                     state.opt_state)
+        coords, opt_state, metrics = self._adam_step(
+            state.coords, state.opt_state, *self._loss_aux)
         metrics["max_drift_vox"] = self.drift_voxels(coords)
         return (
             FitState(coords=coords, opt_state=opt_state, step=state.step + 1),

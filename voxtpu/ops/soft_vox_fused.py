@@ -17,8 +17,9 @@ per-fragment traced data entirely:
   (TC, 128) @ (128, N) MXU contraction as before.
 - The backward kernel chain-rules fragment cotangents to COEFFICIENT
   cotangents in-kernel (two extra small matmuls) and emits one
-  (16, TBL) block per batch; JAX autodiff carries them back through
-  the table gather to vertex coordinates.
+  (TBL, 16) block per batch; custom gather-transpose VJPs (not
+  scatter-adds — 30x slower on TPU) carry them back through the table
+  expansion and the coords->triangle gather to vertex coordinates.
 
 Traced data per step: coefficient tables (~F/4 rows of 64 B) instead
 of F fragments x 2 arrays x fwd/bwd sorts.
@@ -32,9 +33,13 @@ center (cy, cz) is
     weight = wmul * cov,   wmul = sign (0 if degenerate)
     x_hit = P - Q * cy - R * cz,  (P, Q, R) = (D, B, C) / A
 
-Coefficient layout (16 lanes, transposed to (16, TBL) so the kernel
-reads attributes as sublane rows — Mosaic-friendly):
+Coefficient layout (16 lanes; blocks arrive row-major (TBL, 16) and
+are transposed in-kernel so attributes read as sublane rows):
     0..8: (u, v, w) for e0, e1, e2     9..11: P, Q, R     12: wmul
+
+TBL defaults to 128: tighter batch bins nearly halve the padded table
+slots (the dominant traced data) vs 256, and the per-panel attribute
+matmul K dim shrinks with it.
 """
 
 from __future__ import annotations
@@ -113,7 +118,10 @@ def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
         tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, n), 1)
         cx = ox + (x_iota.astype(jnp.float32) * vs + vs * 0.5)
-        table_t = tab_ref[0]  # (16, TBL)
+        # In-kernel transpose: tables arrive row-major (TBL, 16) straight
+        # from the gather; transposing here (once per batch, fused into
+        # the pipeline) replaces two 500 MB XLA transposes per step.
+        table_t = tab_ref[0].T  # (16, TBL)
 
         part = jnp.zeros((tc, n), jnp.float32)
         for s in range(tb_sub):
@@ -169,7 +177,7 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
         ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
         vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
         g_tile = g_ref[0]  # (TC, N)
-        table_t = tab_ref[0]
+        table_t = tab_ref[0].T  # (16, TBL), see fwd kernel note
 
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
         tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
@@ -225,39 +233,42 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (16, TBL)
-        dtab_ref[0] = dtab
+        dtab_ref[0] = dtab.T  # row-major (TBL, 16), matching the tables
 
     return kernel
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp around the kernel pair (tables -> occupancy)
+# custom_vjp ops
 # ---------------------------------------------------------------------------
+#
+# All large static arrays (slot layouts, index tables) are PASSED AS
+# ARGUMENTS, never closed over: this JAX embeds every closure constant
+# as an HLO literal, and at 1.35M faces the ~240 MB of layout data blew
+# the remote-compile request limit (HTTP 413). Integer/bool primal
+# arguments take float0 cotangents.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _fused_accumulate(tables_t, plan, prm):
-    return _fused_fwd_call(tables_t, plan, prm)
+def _float0(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
 
 
-def _static_args(plan):
-    return (
-        jnp.asarray(plan.batch_tile, jnp.int32),
-        jnp.asarray(plan.flags, jnp.int32),
-        jnp.asarray(plan.cells_b, jnp.int32),
-        jnp.asarray(plan.tblidx_b, jnp.int32),
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_accumulate(tables, batch_tile, flags, cells_b, tblidx_b,
+                      tile_mask, cfg):
+    """(B, TBL, 16) tables -> (n, n, n) occupancy. cfg = hashable
+    (n, tc, tb_sub, tbl, num_batches, prm)."""
+    return _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
+                           tile_mask, cfg)
 
 
-def _fused_fwd_call(tables_t, plan, prm):
+def _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
+                    tile_mask, cfg):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, tc, tbl = plan.spec.n, plan.tc, plan.tbl
-    tb_sub = plan.tb_sub
-    num_batches = plan.num_batches
+    n, tc, tb_sub, tbl, num_batches, prm = cfg
     num_tiles = (n * n) // tc
-    bt, fl, cb, ib = _static_args(plan)
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     tiles = pl.pallas_call(
@@ -267,7 +278,7 @@ def _fused_fwd_call(tables_t, plan, prm):
             grid=(num_batches,),
             in_specs=[
                 slot, slot,
-                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, tc, n),
@@ -279,25 +290,25 @@ def _fused_fwd_call(tables_t, plan, prm):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(bt, fl, cb, ib, tables_t, pr)
-    tiles = jnp.where(jnp.asarray(plan.tile_mask)[:, None, None], tiles, 0.0)
+    )(batch_tile, flags, cells_b, tblidx_b, tables, pr)
+    tiles = jnp.where(tile_mask[:, None, None], tiles, 0.0)
     return tiles.reshape(n, n, n)
 
 
-def _fused_fwd_rule(tables_t, plan, prm):
-    return _fused_fwd_call(tables_t, plan, prm), (tables_t,)
+def _fused_fwd_rule(tables, batch_tile, flags, cells_b, tblidx_b,
+                    tile_mask, cfg):
+    out = _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
+                          tile_mask, cfg)
+    return out, (tables, batch_tile, flags, cells_b, tblidx_b, tile_mask)
 
 
-def _fused_bwd_rule(plan, prm, res, g):
+def _fused_bwd_rule(cfg, res, g):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (tables_t,) = res
-    n, tc, tbl = plan.spec.n, plan.tc, plan.tbl
-    tb_sub = plan.tb_sub
-    num_batches = plan.num_batches
+    tables, batch_tile, flags, cells_b, tblidx_b, tile_mask = res
+    n, tc, tb_sub, tbl, num_batches, prm = cfg
     g_tiles = g.reshape((n * n) // tc, tc, n)
-    bt, fl, cb, ib = _static_args(plan)
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     dtab = pl.pallas_call(
@@ -307,59 +318,80 @@ def _fused_bwd_rule(plan, prm, res, g):
             grid=(num_batches,),
             in_specs=[
                 slot, slot,
-                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, tc, n), lambda b, bt, fl: (bt[b], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, NATTR, tbl),
+            out_specs=pl.BlockSpec((1, tbl, NATTR),
                                    lambda b, *_: (b, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_batches, NATTR, tbl),
+        out_shape=jax.ShapeDtypeStruct((num_batches, tbl, NATTR),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(bt, fl, cb, ib, tables_t, pr, g_tiles)
-    return (dtab,)
+    )(batch_tile, flags, cells_b, tblidx_b, tables, pr, g_tiles)
+    return (dtab, _float0(batch_tile), _float0(flags), _float0(cells_b),
+            _float0(tblidx_b), _float0(tile_mask))
 
 
 _fused_accumulate.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
-# ---------------------------------------------------------------------------
-# Table expansion with a gather-transpose VJP
-# ---------------------------------------------------------------------------
-#
 # jnp.take's automatic VJP is a scatter-add — measured ~710 ms for the
 # (B*TBL, 16) -> (T, 16) reduction at 256^3 / 1.35M faces (TPU scatter
 # runs at element-gather speed, ~0.3 GB/s). ROW gathers run at ~10 GB/s,
-# so the transpose is computed as max_k static gathers instead: slot
-# positions of each face are static plan data; dcoeffs[f] is the sum of
-# g over the <= max_k slots of face f (missing slots hit a dummy zero
-# row). 8 x 86 MB gathers beat one 500 MB scatter by ~10x.
+# so the transposes below are sums over <= max_k static position tables
+# (missing slots hit a dummy zero row) instead.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _expand_rows(coeffs_ext, plan):
+@jax.custom_vjp
+def _expand_rows(coeffs_ext, fidx, bwd_pos):
     """(T+1, 16) coefficient rows -> (B*TBL, 16) table slots."""
-    return jnp.take(coeffs_ext, plan._fidx(), axis=0)
+    return jnp.take(coeffs_ext, fidx, axis=0)
 
 
-def _expand_fwd(coeffs_ext, plan):
-    return _expand_rows(coeffs_ext, plan), None
+def _expand_fwd(coeffs_ext, fidx, bwd_pos):
+    return jnp.take(coeffs_ext, fidx, axis=0), (fidx, bwd_pos)
 
 
-def _expand_bwd(plan, _res, g):
+def _expand_bwd(res, g):
+    fidx, bwd_pos = res
     g_ext = jnp.concatenate([g, jnp.zeros((1, NATTR), g.dtype)], axis=0)
-    acc = jnp.zeros((plan.num_faces, NATTR), g.dtype)
-    for j in range(plan.bwd_pos.shape[0]):
-        acc = acc + jnp.take(g_ext, plan._bwd_pos(j), axis=0)
-    # The appended zero row's cotangent is discarded by the caller.
-    return (jnp.concatenate([acc, jnp.zeros((1, NATTR), g.dtype)], axis=0),)
+    acc = jnp.zeros((bwd_pos.shape[1], NATTR), g.dtype)
+    for j in range(bwd_pos.shape[0]):
+        acc = acc + jnp.take(g_ext, bwd_pos[j], axis=0)
+    dcoeffs = jnp.concatenate(
+        [acc, jnp.zeros((1, NATTR), g.dtype)], axis=0)
+    return dcoeffs, _float0(fidx), _float0(bwd_pos)
 
 
 _expand_rows.defvjp(_expand_fwd, _expand_bwd)
+
+
+@jax.custom_vjp
+def _gather_tri(coords, faces, vert_pos):
+    """coords (V, 3) -> (T, 3, 3); VJP sums each vertex's <= max_val
+    static (face, corner) positions via row gathers."""
+    return coords[faces]
+
+
+def _gather_tri_fwd(coords, faces, vert_pos):
+    return coords[faces], (faces, vert_pos)
+
+
+def _gather_tri_bwd(res, g):
+    faces, vert_pos = res
+    gf = jnp.concatenate(
+        [g.reshape(-1, 3), jnp.zeros((1, 3), g.dtype)], axis=0)
+    acc = jnp.zeros((vert_pos.shape[1], 3), g.dtype)
+    for j in range(vert_pos.shape[0]):
+        acc = acc + jnp.take(gf, vert_pos[j], axis=0)
+    return acc, _float0(faces), _float0(vert_pos)
+
+
+_gather_tri.defvjp(_gather_tri_fwd, _gather_tri_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +409,7 @@ class FusedSoftPlan:
     no traced data."""
 
     def __init__(self, soft_plan, tc: int = 128, tb_sub: int = 4,
-                 tbl: int = 256):
+                 tbl: int = 128):
         spec = soft_plan.spec
         n = spec.n
         if (n * n) % tc != 0:
@@ -516,20 +548,62 @@ class FusedSoftPlan:
             rank = np.arange(vo.size) - starts[vf]
             pos[rank, vf] = vo
         self.bwd_pos = pos
-        self._dev_cache = {}
 
-    def _fidx(self):
-        if "fidx" not in self._dev_cache:
-            self._dev_cache["fidx"] = jnp.asarray(
-                np.where(self.table_face_flat < 0, self.num_faces,
-                         self.table_face_flat).astype(np.int32))
-        return self._dev_cache["fidx"]
+        # Vertex incidence for the coords-gather VJP: vert_pos[j, v] =
+        # flat (face*3 + corner) index of vertex v's j-th use, or 3*T
+        # (zero row) beyond its valence.
+        faces_np = np.asarray(soft_plan.faces_array).reshape(-1)
+        self.num_vertices = int(faces_np.max(initial=-1)) + 1
+        vorder = np.argsort(faces_np, kind="stable")
+        vsorted = faces_np[vorder]
+        vstarts = np.searchsorted(vsorted, np.arange(self.num_vertices + 1))
+        vcounts = np.diff(vstarts)
+        max_val = int(vcounts.max()) if vcounts.size else 0
+        vpos = np.full((max(max_val, 1), self.num_vertices), faces_np.size,
+                       np.int32)
+        if vorder.size:
+            vrank = np.arange(vorder.size) - vstarts[vsorted]
+            vpos[vrank, vsorted] = vorder
+        self.vert_pos = vpos
 
-    def _bwd_pos(self, j):
-        key = ("pos", j)
-        if key not in self._dev_cache:
-            self._dev_cache[key] = jnp.asarray(self.bwd_pos[j])
-        return self._dev_cache[key]
+        # Pytree leaves (device arrays): passed through jit boundaries
+        # as ARGUMENTS — closure-captured arrays embed as HLO literals
+        # and overflow the remote-compile request at large face counts.
+        fidx = np.where(self.table_face_flat < 0, self.num_faces,
+                        self.table_face_flat).astype(np.int32)
+        self.batch_tile_d = jnp.asarray(self.batch_tile, jnp.int32)
+        self.flags_d = jnp.asarray(self.flags, jnp.int32)
+        self.cells_d = jnp.asarray(self.cells_b, jnp.int32)
+        self.tblidx_d = jnp.asarray(self.tblidx_b, jnp.int32)
+        self.tile_mask_d = jnp.asarray(self.tile_mask)
+        self.fidx_d = jnp.asarray(fidx)
+        self.bwd_pos_d = jnp.asarray(self.bwd_pos)
+        self.vert_pos_d = jnp.asarray(self.vert_pos)
+        self.faces_d = jnp.asarray(np.asarray(soft_plan.faces_array))
+
+    # -- pytree protocol: arrays are leaves, layout config is aux ------
+    _LEAVES = ("batch_tile_d", "flags_d", "cells_d", "tblidx_d",
+               "tile_mask_d", "fidx_d", "bwd_pos_d", "vert_pos_d",
+               "faces_d")
+    _AUX = ("spec", "tc", "tb_sub", "tbl", "num_batches", "num_pairs",
+            "num_fragments", "num_faces", "num_vertices")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, k) for k in self._LEAVES),
+                tuple(getattr(self, k) for k in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for k, v in zip(cls._AUX, aux):
+            setattr(obj, k, v)
+        for k, v in zip(cls._LEAVES, leaves):
+            setattr(obj, k, v)
+        obj.soft_plan = None  # host-only layout data is not carried
+        return obj
+
+
+jax.tree_util.register_pytree_node_class(FusedSoftPlan)
 
 
 def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
@@ -539,24 +613,32 @@ def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
 
     Same semantics as `voxtpu.ops.soft_vox.soft_voxelize` (x_hit is
     algebraically identical but distributes the 1/A division, so values
-    agree to float32 rounding rather than bit-exactly)."""
+    agree to float32 rounding rather than bit-exactly).
+
+    `plan` is a pytree: in jitted code pass it THROUGH the jit boundary
+    as an argument (e.g. ``jax.jit(soft_voxelize_fused)(coords, plan)``)
+    rather than closing over it — closure constants embed the multi-MB
+    layout arrays into the compiled program.
+    """
     spec = plan.spec
-    sp = plan.soft_plan
     vs = spec.voxel_size
     tau_e = tau_edge_frac * vs * vs
     tau_x = tau_x_frac * vs
 
-    tri = coords[sp.faces_array]                    # (T, 3, 3)
+    tri = _gather_tri(coords, plan.faces_d, plan.vert_pos_d)  # (T, 3, 3)
     coeffs = triangle_coeffs(tri)                   # (T, 16)
     coeffs = jnp.concatenate(
         [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
-    tables = _expand_rows(coeffs, plan)             # (B*TBL, 16)
+    tables = _expand_rows(coeffs, plan.fidx_d, plan.bwd_pos_d)
+    # Row-major (B, TBL, 16) — the kernels transpose in VMEM.
     tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
-    tables_t = jnp.swapaxes(tables_t, 1, 2)         # (B, 16, TBL)
 
     prm = (float(spec.origin[0]), float(spec.origin[1]),
            float(spec.origin[2]), float(vs), float(tau_e), float(tau_x))
-    occ = _fused_accumulate(tables_t, plan, prm)
+    cfg = (spec.n, plan.tc, plan.tb_sub, plan.tbl, plan.num_batches, prm)
+    occ = _fused_accumulate(tables_t, plan.batch_tile_d, plan.flags_d,
+                            plan.cells_d, plan.tblidx_d, plan.tile_mask_d,
+                            cfg)
     if clip:
         occ = jnp.clip(occ, 0.0, 1.0)
     return occ
