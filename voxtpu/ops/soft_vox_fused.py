@@ -40,6 +40,11 @@ are transposed in-kernel so attributes read as sublane rows):
 TBL defaults to 128: tighter batch bins nearly halve the padded table
 slots (the dominant traced data) vs 256, and the per-panel attribute
 matmul K dim shrinks with it.
+
+All kernel dots run at Precision.HIGHEST: the TPU MXU's default f32
+path rounds operands to single-pass bf16, which turns the one-hot
+coefficient/fragment gathers into lossy reads (~0.4% per value) and
+fails finite-difference gradchecks on hardware by >10%.
 """
 
 from __future__ import annotations
@@ -136,6 +141,7 @@ def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 table_t, onehot_t,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (16, 128): attribute rows per slot
 
             s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
@@ -152,6 +158,7 @@ def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 onehot_w, sig,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         @pl.when((flags & FLAG_FIRST) != 0)
@@ -197,6 +204,7 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 table_t, onehot_t,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
             s1 = jax.nn.sigmoid((at[3] * cz + at[4] * cy + at[5]) / tau_e)
@@ -210,6 +218,7 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 onehot, g_tile,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (128, N)
             sig = jax.nn.sigmoid((xh[:, None] - cx) / tau_x)
             dw = jnp.sum(pg * sig, axis=1)                       # (128,)
@@ -232,6 +241,7 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int):
                 dattrs, onehot_t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (16, TBL)
         dtab_ref[0] = dtab.T  # row-major (TBL, 16), matching the tables
 
