@@ -68,6 +68,19 @@ expected_p = np.asarray(jfa_xla(occ, spec.origin, spec.voxel_size, n=n,
 for index, data in local_from_global(sdf_p):
     np.testing.assert_allclose(data, expected_p[index], rtol=1e-6, atol=0)
 
+# Triangle-sharded voxelization over the cross-process mesh (ring
+# exchange): every process's slabs must equal the single-device grid.
+from voxtpu.mesh.obj_io import import_mesh
+from voxtpu.ops.vox import voxelize
+from voxtpu.parallel.sharded_vox import voxelize_sharded
+
+tri_mesh = import_mesh("/root/reference/assets/sphere.obj")
+vspec = GridSpec.fit(tri_mesh.coords, 32)
+single_words = np.asarray(voxelize(tri_mesh, vspec, backend="xla").words)
+gw = voxelize_sharded(tri_mesh, vspec, mesh).words
+for index, data in local_from_global(gw):
+    np.testing.assert_array_equal(data, single_words[index])
+
 print(f"WORKER{pid} OK")
 """
 
