@@ -479,42 +479,60 @@ class FusedSoftPlan:
         num_pairs = pair_start.size
 
         # Greedy batch cuts: same tile, <= tb slots, <= tbl uniques.
-        batches = []  # (tile, first_pair, last_pair_exclusive)
-        i = 0
-        while i < num_pairs:
-            t = pair_tile[i]
-            budget = tb
-            j = i
-            while (j < num_pairs and pair_tile[j] == t and j - i < tbl
-                   and pair_size[j] <= budget):
-                budget -= pair_size[j]
-                j += 1
-            if j == i:  # single pair larger than tb (cannot happen: <= tc)
-                raise AssertionError("pair exceeds batch capacity")
-            batches.append((int(t), int(i), int(j)))
-            i = j
-
+        # Vectorized as rounds over the still-open tiles (a python loop
+        # over 4M+ pairs took ~30 s at 1.35M faces); rounds = max
+        # batches in any one tile (a handful).
         num_tiles = (n * n) // tc
-        if not batches:
-            batches = [(0, 0, 0)]
-        bcount = len(batches)
+        if num_pairs:
+            run_starts = np.nonzero(
+                np.concatenate([[True], pair_tile[1:] != pair_tile[:-1]])
+            )[0]
+            run_ends = np.append(run_starts[1:], num_pairs)
+            run_tile = pair_tile[run_starts]
+            csum = np.concatenate([[0], np.cumsum(pair_size)])
+            cur = run_starts.copy()
+            bt_l, p0_l, p1_l = [], [], []
+            open_m = cur < run_ends
+            while open_m.any():
+                c = cur[open_m]
+                j_slots = np.searchsorted(csum, csum[c] + tb,
+                                          side="right") - 1
+                j = np.minimum(np.minimum(j_slots, c + tbl),
+                               run_ends[open_m])
+                if not (j > c).all():  # pair larger than tb: can't happen
+                    raise AssertionError("pair exceeds batch capacity")
+                bt_l.append(run_tile[open_m])
+                p0_l.append(c)
+                p1_l.append(j)
+                cur[open_m] = j
+                open_m = cur < run_ends
+            batch_p0 = np.concatenate(p0_l)
+            batch_p1 = np.concatenate(p1_l)
+            batch_t = np.concatenate(bt_l)
+            order_b = np.argsort(batch_p0, kind="stable")
+            batch_p0 = batch_p0[order_b]
+            batch_p1 = batch_p1[order_b]
+            batch_t = batch_t[order_b]
+        else:
+            batch_p0 = batch_p1 = np.zeros((1,), np.int64)
+            batch_t = np.zeros((1,), np.int64)
+        bcount = batch_p0.size
+
         cells_b = np.full((bcount, tb), -1, np.int32)
         tblidx_b = np.zeros((bcount, tb), np.int32)
         table_face = np.full((bcount, tbl), -1, np.int64)
-        batch_tile = np.zeros(bcount, np.int32)
-        for bi, (t, p0, p1) in enumerate(batches):
-            batch_tile[bi] = t
-            if p1 == p0:
-                continue
-            f0 = pair_start[p0]
-            f1 = pair_end[p1 - 1]
-            cnt = int(f1 - f0)
-            cells_b[bi, :cnt] = (cells[f0:f1] % tc).astype(np.int32)
-            # table slot = pair rank within batch
-            pr = np.searchsorted(pair_start[p0:p1], np.arange(f0, f1),
-                                 side="right") - 1
-            tblidx_b[bi, :cnt] = pr.astype(np.int32)
-            table_face[bi, :p1 - p0] = pair_face[p0:p1]
+        batch_tile = batch_t.astype(np.int32)
+        if f_total:
+            pidx = np.cumsum(newpair) - 1            # pair id per fragment
+            b_of_pair = np.searchsorted(batch_p0, np.arange(num_pairs),
+                                        side="right") - 1
+            fb = b_of_pair[pidx]                     # batch per fragment
+            fstart_b = pair_start[batch_p0]          # frag start per batch
+            slot = np.arange(f_total) - fstart_b[fb]
+            cells_b[fb, slot] = (cells % tc).astype(np.int32)
+            tblidx_b[fb, slot] = (pidx - batch_p0[fb]).astype(np.int32)
+            tslot = np.arange(num_pairs) - batch_p0[b_of_pair]
+            table_face[b_of_pair, tslot] = pair_face
 
         first = np.empty(bcount, bool)
         first[0] = True
@@ -527,8 +545,8 @@ class FusedSoftPlan:
         self.cells_b = cells_b.reshape(bcount, tb_sub, TB_LANE)
         self.tblidx_b = tblidx_b.reshape(bcount, tb_sub, TB_LANE)
         tm = np.zeros(num_tiles, bool)
-        tm[batch_tile] = (np.array([p1 > p0 for _, p0, p1 in batches])
-                          if f_total else False)
+        if f_total:
+            tm[batch_tile[batch_p1 > batch_p0]] = True
         self.tile_mask = tm
         self.num_batches = bcount
         self.num_pairs = int(num_pairs)
