@@ -450,11 +450,11 @@ class FusedSoftPlan:
             cells = np.concatenate([c.reshape(-1) for c in cells_l])
             faces = np.concatenate([f.reshape(-1) for f in faces_l])
         else:
-            cells = np.zeros((0,), np.int64)
-            faces = np.zeros((0,), np.int64)
+            cells = np.zeros((0,), np.int32)
+            faces = np.zeros((0,), np.int32)
         keep = cells >= 0
-        cells = cells[keep].astype(np.int64)
-        faces = faces[keep].astype(np.int64)
+        cells = cells[keep].astype(np.int32)
+        faces = faces[keep].astype(np.int32)
 
         tile = cells // tc
         order = np.lexsort((cells, faces, tile))
@@ -514,16 +514,16 @@ class FusedSoftPlan:
             batch_p1 = batch_p1[order_b]
             batch_t = batch_t[order_b]
         else:
-            batch_p0 = batch_p1 = np.zeros((1,), np.int64)
-            batch_t = np.zeros((1,), np.int64)
+            batch_p0 = batch_p1 = np.zeros((1,), np.int32)
+            batch_t = np.zeros((1,), np.int32)
         bcount = batch_p0.size
 
         cells_b = np.full((bcount, tb), -1, np.int32)
         tblidx_b = np.zeros((bcount, tb), np.int32)
-        table_face = np.full((bcount, tbl), -1, np.int64)
+        table_face = np.full((bcount, tbl), -1, np.int32)
         batch_tile = batch_t.astype(np.int32)
         if f_total:
-            pidx = np.cumsum(newpair) - 1            # pair id per fragment
+            pidx = np.cumsum(newpair, dtype=np.int32) - 1  # pair id/frag
             b_of_pair = np.searchsorted(batch_p0, np.arange(num_pairs),
                                         side="right") - 1
             fb = b_of_pair[pidx]                     # batch per fragment
@@ -552,7 +552,7 @@ class FusedSoftPlan:
         self.num_pairs = int(num_pairs)
         self.num_fragments = int(f_total)
         # Flat face ids for the table gather: -1 -> T (a zero row).
-        self.table_face_flat = table_face.reshape(-1).astype(np.int64)
+        self.table_face_flat = table_face.reshape(-1).astype(np.int32)
         self.num_faces = int(np.asarray(soft_plan.faces_array).shape[0])
 
         # Static transpose of the slot->face map for the gather-based
