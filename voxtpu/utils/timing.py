@@ -25,7 +25,7 @@ def _sync(value) -> None:
 
 
 def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
-                   chain=None, repeats: int = 3) -> float:
+                   chain=None, repeats: int = 5) -> float:
     """Per-iteration seconds of `fn(*args)` on device.
 
     `fn` must return a pytree; `chain(prev_out, args) -> new args` makes
@@ -33,9 +33,10 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
     same inputs, which on a single TPU core still serializes).
 
     The differential measurement repeats `repeats` times and returns the
-    minimum — tunnel jitter only ever inflates a differential sample
-    (and can even drive one to ~0 when the base run absorbs a stall), so
-    the smallest positive sample is the best kernel-time estimate.
+    MEDIAN: a tunnel stall during the long run inflates a sample, but a
+    stall during the BASE run deflates it below the true kernel time
+    (observed: the same cached kernel measuring 0.56 vs 1.2 ms across
+    sessions), so neither min nor max is trustworthy.
     """
     out = fn(*args)
     for _ in range(max(0, warmup - 1)):
@@ -76,4 +77,5 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
             stacklevel=2,
         )
         return best
-    return min(samples)
+    samples.sort()
+    return samples[len(samples) // 2]
