@@ -58,3 +58,18 @@ def test_soft_csg_differentiable():
     assert np.isfinite(np.asarray(ga)).all()
     assert np.isfinite(np.asarray(gb)).all()
     assert float(jnp.abs(ga).sum()) > 0
+
+
+def test_csg_unknown_backend_raises(grids):
+    a, b, ga, gb = grids
+    with pytest.raises(ValueError, match="unknown backend"):
+        csg(ga, gb, "union", backend="cuda")
+
+
+def test_csg_reference_backend_matches(grids):
+    a, b, ga, gb = grids
+    for op in ("union", "intersection", "difference"):
+        host = csg(ga, gb, op, backend="reference")
+        xla = csg(ga, gb, op, backend="xla")
+        np.testing.assert_array_equal(
+            np.asarray(host.words), np.asarray(xla.words))

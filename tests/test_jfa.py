@@ -175,3 +175,24 @@ def jnp_occ(occ):
     import jax.numpy as jnp
 
     return jnp.asarray(occ)
+
+
+def test_xla_routing_uses_stepped_above_1024():
+    """jfa(backend="xla") must not hit the single-jit OOM formulation at
+    large N (VERDICT r2 weak #6)."""
+    from voxtpu.ops.jfa import _use_stepped_xla
+
+    assert _use_stepped_xla(2048, "auto")
+    assert _use_stepped_xla(2048, "wide")
+    assert not _use_stepped_xla(1024, "auto")
+    assert not _use_stepped_xla(512, "wide")
+
+
+def test_stepped_wide_caps_at_16384():
+    import jax.numpy as jnp
+
+    from voxtpu.ops.jfa import jfa_xla_stepped
+
+    occ = jnp.zeros((8, 8, 8), bool)
+    with pytest.raises(ValueError, match="16384"):
+        jfa_xla_stepped(occ, (0, 0, 0), 1.0, n=32768)

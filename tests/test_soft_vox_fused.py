@@ -128,3 +128,25 @@ def test_voxelfit_fused_engine_improves(sphere_mesh):
     for _ in range(5):
         state, metrics = fit.step(state)
     assert float(metrics["loss"]) < l0
+
+
+def test_fused_grad_covers_unreferenced_vertices(sphere_mesh):
+    """Gradient rows must match coords rows even when trailing vertices
+    are referenced by no face (ADVICE r2 medium)."""
+    from voxtpu.ops.soft_vox_fused import FusedSoftPlan, soft_voxelize_fused
+
+    coords = np.concatenate(
+        [sphere_mesh.coords,
+         np.full((3, 3), 7.5, np.float32)], axis=0)  # 3 orphan vertices
+    mesh = Mesh(name="orphans", coords=coords, faces=sphere_mesh.faces,
+                faces_normals=sphere_mesh.faces_normals)
+    spec = GridSpec.fit(sphere_mesh.coords, 16)
+    fp = FusedSoftPlan(make_soft_plan(mesh, spec))
+
+    def loss(c):
+        return jnp.sum(soft_voxelize_fused(c, fp) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(coords)))
+    assert g.shape == coords.shape
+    np.testing.assert_array_equal(g[-3:], 0.0)
+    assert np.abs(g[:-3]).sum() > 0

@@ -27,6 +27,11 @@ import optax
 from voxtpu.ops.soft_vox import soft_voxelize
 
 
+@jax.jit
+def _max_drift(coords, plan_coords, voxel_size):
+    return jnp.max(jnp.abs(coords - plan_coords)) / voxel_size
+
+
 def soft_iou_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """1 - soft IoU; robust to class imbalance in mostly-empty grids."""
     inter = jnp.sum(pred * target)
@@ -145,8 +150,10 @@ class VoxelFit:
         """Max vertex displacement since the plan was built, in voxels."""
         if self._plan_coords is None:
             return jnp.float32(0.0)
-        return (jnp.max(jnp.abs(coords - self._plan_coords))
-                / jnp.float32(self.plan.spec.voxel_size))
+        # One jitted dispatch: on the tunneled TPU every EAGER op costs a
+        # full round trip, and this runs per fit step (round-2 notes).
+        return _max_drift(coords, self._plan_coords,
+                          jnp.float32(self.plan.spec.voxel_size))
 
     def maybe_refresh_plan(self, state: FitState, force: bool = False) -> bool:
         """Rebuild the soft plan if vertices drifted past the pad window."""

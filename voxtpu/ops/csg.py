@@ -44,9 +44,23 @@ _WORD_OPS = {
 }
 
 
+_CSG_BACKENDS = ("xla", "pallas", "reference", "native")
+
+
 def csg(grid1: VoxelGrid, grid2: VoxelGrid, op: str, backend: str = "xla") -> VoxelGrid:
     """Fold grid2 into grid1 (returns a new grid; shapes must match,
-    mirroring the asserts at `csg/naive.cu:30-33`)."""
+    mirroring the asserts at `csg/naive.cu:30-33`).
+
+    backend: "xla" | "pallas" | "reference" | "native". "pallas"
+    deliberately aliases to "xla": a word-wise boolean is one fused
+    memory-bound elementwise op, which XLA already emits optimally —
+    there is nothing for a hand-written kernel to improve (measured 53x
+    the reference's naive CUDA kernel, BENCH_NOTES.md). "reference"
+    runs the same fold in NumPy on host (the oracle path,
+    `csg/sequential.cpp:18-28`)."""
+    if backend not in _CSG_BACKENDS:
+        raise ValueError(
+            f"unknown backend {backend!r} (expected one of {_CSG_BACKENDS})")
     if op == "void":
         return grid1
     if op not in _WORD_OPS:
@@ -62,6 +76,14 @@ def csg(grid1: VoxelGrid, grid2: VoxelGrid, op: str, backend: str = "xla") -> Vo
         words = jnp.asarray(
             native_csg(np.asarray(grid1.words), np.asarray(grid2.words), op)
         )
+    elif backend == "reference":
+        import numpy as np
+
+        a = np.asarray(grid1.words)
+        b = np.asarray(grid2.words)
+        host = {"union": a | b, "intersection": a & b,
+                "difference": a & ~b}[op]
+        words = jnp.asarray(host)
     else:
         words = _WORD_OPS[op](grid1.words, grid2.words)
     return VoxelGrid(words=words, origin=grid1.origin, voxel_size=grid1.voxel_size)

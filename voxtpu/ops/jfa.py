@@ -86,7 +86,8 @@ def jfa_init_seed(occ):
     seed >= 0 (d2 of the -1 sentinel is forced to +inf).
 
     10-bit fields cap this encoding at N = 1024; `jfa_init_seed_wide`
-    is the N <= 32768 variant (two int32 grids, 2x the HBM traffic).
+    is the N <= 16384 variant (two int32 grids, 2x the HBM traffic;
+    the cap keeps squared voxel distances exact in int32).
     """
     n = occ.shape[0]
     boundary = _boundary_mask(occ)
@@ -246,7 +247,7 @@ def jfa_xla(occ, origin, voxel_size, *, n: int, encoding: str = "auto"):
     """Full JFA: init + statically unrolled flood over k = N/2 ... 1.
 
     encoding: "packed" (one 10-bit-field int32 grid, N <= 1024, the
-    HBM-minimal fast layout), "wide" ((hi, lo) int32 pair, N <= 32768,
+    HBM-minimal fast layout), "wide" ((hi, lo) int32 pair, N <= 16384,
     2x traffic), or "auto" (packed where it fits). Like the reference
     (`jfa/naive.cu:160-174`), the only remaining limit is device memory.
 
@@ -308,6 +309,9 @@ def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
     beyond HBM for the large grids this path exists for). Single-chip
     memory is the only limit, as in the reference (`jfa/naive.cu:160`).
     """
+    if n > 16384:
+        raise ValueError("wide seeds compare exact int32 voxel distances "
+                         "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
     hi, lo = _init_wide_jit(occ, n=n)
@@ -316,6 +320,12 @@ def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
         hi, lo = _step_wide_jit(hi, lo, k=k, n=n)
         k //= 2
     return _final_wide_jit(hi, lo, occ, origin, vs, n=n)
+
+
+def _use_stepped_xla(n: int, encoding: str) -> bool:
+    """Above 1024 the wide encoding is mandatory and the single-jit
+    flood OOMs (all step buffers live at once) — use per-step dispatch."""
+    return n > 1024 and encoding in ("auto", "wide")
 
 
 def jfa(grid: VoxelGrid | jnp.ndarray, spec: GridSpec | None = None,
@@ -350,5 +360,11 @@ def jfa(grid: VoxelGrid | jnp.ndarray, spec: GridSpec | None = None,
         return jfa_pallas(occ, spec)
     if backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")
+    if _use_stepped_xla(spec.n, encoding):
+        # A single whole-flood jit keeps every step's buffers live in
+        # XLA's buffer assignment and OOMs at the sizes that force the
+        # wide encoding — route through per-step dispatch instead
+        # (same delegation the pallas backend does, `jfa_pallas.py`).
+        return jfa_xla_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
     return jfa_xla(occ, spec.origin, spec.voxel_size, n=spec.n,
                    encoding=encoding)

@@ -388,16 +388,24 @@ def _gather_tri(coords, faces, vert_pos):
 
 
 def _gather_tri_fwd(coords, faces, vert_pos):
-    return coords[faces], (faces, vert_pos)
+    # Zero-row token records coords' row count: vert_pos is sized by
+    # faces.max()+1, which undercounts meshes with unreferenced trailing
+    # vertices — the cotangent must still match coords' shape.
+    shape_token = jnp.zeros((coords.shape[0], 0), coords.dtype)
+    return coords[faces], (faces, vert_pos, shape_token)
 
 
 def _gather_tri_bwd(res, g):
-    faces, vert_pos = res
+    faces, vert_pos, shape_token = res
     gf = jnp.concatenate(
         [g.reshape(-1, 3), jnp.zeros((1, 3), g.dtype)], axis=0)
     acc = jnp.zeros((vert_pos.shape[1], 3), g.dtype)
     for j in range(vert_pos.shape[0]):
         acc = acc + jnp.take(gf, vert_pos[j], axis=0)
+    ncoords = shape_token.shape[0]
+    if ncoords > acc.shape[0]:  # unreferenced vertices: zero gradient
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((ncoords - acc.shape[0], 3), g.dtype)], axis=0)
     return acc, _float0(faces), _float0(vert_pos)
 
 

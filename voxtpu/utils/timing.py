@@ -65,17 +65,17 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
     if not samples:
         # Either tunnel jitter corrupted every run, or the kernel is
         # genuinely sub-100ns (tiny word ops at small N with large iters).
-        # Degrade to the best-effort estimate instead of aborting a sweep.
+        # Return NaN so sweeps/CSVs cannot silently absorb a fabricated
+        # sample (a 1e-9 fallback once recorded as multi-Tvox/s rows).
         import warnings
 
-        best = max(max(raw), 1e-9)
         warnings.warn(
             "time_device_fn: every differential sample was <= 1e-7 s "
-            f"(raw: {[f'{d:.2e}' for d in raw]}); returning the best-effort "
-            f"{best:.2e} s — rerun or raise iters if this is jitter",
+            f"(raw: {[f'{d:.2e}' for d in raw]}); returning NaN — "
+            "rerun or raise iters if this is jitter",
             RuntimeWarning,
             stacklevel=2,
         )
-        return best
+        return float("nan")
     samples.sort()
     return samples[len(samples) // 2]
