@@ -64,8 +64,8 @@ def main():
         # timer's in-flight queue can't exhaust HBM.
         return w[:1, :1, :1] if slice_out else w
 
-    we_args = (plan.cells, plan.ws, plan.masks, plan.cnts, plan.batch_tile,
-               plan.flags, plan.tile_mask)
+    we_args = (plan.cells, plan.ws, plan.his, plan.masks, plan.cnts,
+               plan.batch_tile, plan.flags, plan.tile_mask)
 
     @jax.jit
     def popcount(words):

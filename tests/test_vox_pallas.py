@@ -133,3 +133,39 @@ def test_pallas_dispatch_accepts_we_plan(sphere_mesh):
         voxelize(sphere_mesh, spec, backend="pallas", plan=plan).words
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_device_total_pipeline_matches_xla(sphere_mesh):
+    """The single-jit total pipeline (device-side batch layout) must be
+    bit-identical to the per-stage path."""
+    from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
+
+    spec = GridSpec.fit(sphere_mesh.coords, 64)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
+    pipe = DeviceVoxPipeline(sphere_mesh, spec)
+    grid = pipe()
+    np.testing.assert_array_equal(np.asarray(grid.words), ref)
+    # Exact capacity: fixed coords -> zero overflow, zero spare batches.
+    _, overflow = pipe.words()
+    assert int(overflow) == 0
+
+
+def test_device_total_pipeline_empty_mesh():
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
+
+    spec = GridSpec(n=32, origin=(0, 0, 0), voxel_size=1 / 32)
+    grid = DeviceVoxPipeline(Mesh(name="empty"), spec)()
+    assert np.asarray(grid.to_dense()).sum() == 0
+
+
+def test_device_total_pipeline_torus_128(torus_mesh):
+    """128^3 exercises group packing (nw=4, G=32) with multiple
+    supertiles and slack capacity."""
+    from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
+
+    spec = GridSpec.fit(torus_mesh.coords, 128)
+    ref = np.asarray(voxelize(torus_mesh, spec, backend="xla").words)
+    pipe = DeviceVoxPipeline(torus_mesh, spec, slack=1.5)
+    got = np.asarray(pipe().words)
+    np.testing.assert_array_equal(got, ref)

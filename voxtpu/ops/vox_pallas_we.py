@@ -71,8 +71,8 @@ _LANE_MIN = 128  # Mosaic lane-dim floor: pad N/32 columns up to one panel
 def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
     from jax.experimental import pallas as pl
 
-    def kernel(batch_tile_ref, flags_ref, cell_ref, w_ref, mask_ref, cnt_ref,
-               out_ref, acc_carry, acc_b0, acc_b1, acc_b2, acc_b3):
+    def kernel(batch_tile_ref, flags_ref, cell_ref, w_ref, hi_ref, mask_ref,
+               cnt_ref, out_ref, acc_carry, acc_b0, acc_b1, acc_b2, acc_b3):
         b = pl.program_id(0)
         flags = flags_ref[b]
 
@@ -88,15 +88,18 @@ def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (wpad, TB_LANE), 0)
         byte_accs = (acc_b0, acc_b1, acc_b2, acc_b3)
         for s in range(tb_sub):
-            cells_s = cell_ref[0, s, :]   # (128,) -1 = inert lane
-            w_s = w_ref[0, s, :]          # event word, -1 inert
+            cells_s = cell_ref[0, s, :]   # (128,) sub-tile row, -1 inert
+            w_s = w_ref[0, s, :]          # packed lane g*nw + w, -1 inert
+            hi_s = hi_ref[0, s, :]        # sub-tile lane bound (g+1)*nw
             m_s = mask_ref[0, s, :]       # in-word XOR mask (int32 bits)
             c_s = cnt_ref[0, s, :]        # fragment-count parity 0/1
             onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
             eq = q_iota == w_s[None, :]
-            # Carry: +1 to every word beyond the event's, odd counts only.
+            # Carry: +1 to every later word OF THE SAME SUB-TILE (lanes
+            # pack G sub-tiles side by side), odd counts only.
             carry_fill = jnp.where(
-                (q_iota > w_s[None, :]) & (c_s[None, :] > 0), 1, 0
+                (q_iota > w_s[None, :]) & (q_iota < hi_s[None, :])
+                & (c_s[None, :] > 0), 1, 0
             ).astype(jnp.int8)
             acc_carry[:] += jax.lax.dot_general(
                 onehot, carry_fill,
@@ -131,21 +134,34 @@ def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
     return kernel
 
 
+def _group_factor(num_words: int, num_tiles: int) -> int:
+    """Sub-tiles packed per 128-lane output panel (1 at N >= 4096)."""
+    return max(1, min(_LANE_MIN // num_words, num_tiles))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("num_words", "num_tiles", "tc", "tb_sub"))
-def _run_we(cells, ws, masks, cnts, batch_tile, flags, *,
-            num_words: int, num_tiles: int, tc: int, tb_sub: int):
+                   static_argnames=("num_words", "num_tiles", "tc", "tb_sub",
+                                    "dummy"))
+def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
+            num_words: int, num_tiles: int, tc: int, tb_sub: int,
+            dummy: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tb = tb_sub * TB_LANE
-    wpad = max(num_words, _LANE_MIN)
+    g = _group_factor(num_words, num_tiles)
+    num_super = num_tiles // g
+    wpad = max(g * num_words, _LANE_MIN)
     num_batches = cells.shape[0]
+    # `dummy`: reserve one extra output block as a scratch target for
+    # inert capacity batches (the fused device-side layout pads the
+    # batch list to a static maximum; spares must not clobber tile 0).
+    out_blocks = num_super + (1 if dummy else 0)
     spec3 = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # batch_tile, flags
         grid=(num_batches,),
-        in_specs=[spec3, spec3, spec3, spec3],
+        in_specs=[spec3, spec3, spec3, spec3, spec3],
         out_specs=pl.BlockSpec(
             (1, tc, wpad), lambda b, batch_tile, flags: (batch_tile[b], 0, 0)
         ),
@@ -154,15 +170,15 @@ def _run_we(cells, ws, masks, cnts, batch_tile, flags, *,
     flops = num_batches * 5 * 2 * tb * tc * wpad
     out = pl.pallas_call(
         _we_kernel(num_words, wpad, tc, tb_sub),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tc, wpad), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((out_blocks, tc, wpad), jnp.uint32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=num_batches * tb * 16,
+            flops=flops, bytes_accessed=num_batches * tb * 20,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(batch_tile, flags, cells, ws, masks, cnts)
-    return out[:, :, :num_words]
+    )(batch_tile, flags, cells, ws, his, masks, cnts)
+    return out[:num_super, :, :g * num_words]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tc"))
@@ -171,7 +187,7 @@ def _build_events(cells, xs, *, n: int, tc: int):
 
     (Every eager op here would pay a full tunnel round-trip on the
     remote TPU; the whole prep fuses into a single dispatch and only
-    the per-tile bounds array crosses to the host.)
+    the per-supertile bounds array crosses to the host.)
 
     Sorts fragments by (cell, word), XORs in-word masks and counts
     fragments per (cell, word) segment, and compacts one event per
@@ -179,13 +195,17 @@ def _build_events(cells, xs, *, n: int, tc: int):
     themselves compacted by sorts — no big gathers beyond the final
     event pickup).
 
-    Returns (local_e, w_e, mask_e, cnt_e, bounds, num_events_dev):
+    Returns (local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events_dev):
     event arrays of length F with valid events first (padding carries
-    local cell -1 / word -1 / zero mask), per-tile event ranges
-    `bounds` (num_tiles + 1), and the valid-event count.
+    row -1 / lane -1 / zero mask). `local_e` is the sub-tile ROW
+    (cell % tc), `w_e` the lane-PACKED word index g*nw + w of the
+    event's sub-tile g within its supertile, `hi_e` the sub-tile's
+    exclusive lane bound (g+1)*nw, `bounds` the per-SUPERTILE event
+    ranges (num_super + 1).
     """
     f = cells.shape[0]
-    wf = jnp.minimum(xs // WORD_BITS, n // WORD_BITS - 1)
+    num_words = n // WORD_BITS
+    wf = jnp.minimum(xs // WORD_BITS, num_words - 1)
     bf = xs % WORD_BITS
     cells_s, wf_s, bf_s = jax.lax.sort((cells, wf, bf), num_keys=2)
     mask_s = (jnp.uint32(0xFFFFFFFF) << bf_s.astype(jnp.uint32))
@@ -225,25 +245,33 @@ def _build_events(cells, xs, *, n: int, tc: int):
     num_events = jnp.sum(start & valid_s, dtype=jnp.int32)
 
     num_tiles = (n * n) // tc
-    tile_key = jnp.minimum(cell_e // tc, num_tiles)
-    probes = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(tile_key, probes).astype(jnp.int32)
-    local_e = jnp.where(cell_e < n * n, cell_e % tc, -1)
-    return local_e, w_e, mask_e, cnt_e, bounds, num_events
+    g = _group_factor(num_words, num_tiles)
+    num_super = num_tiles // g
+    super_key = jnp.minimum(cell_e // (tc * g), num_super)
+    probes = jnp.arange(num_super + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(super_key, probes).astype(jnp.int32)
+    ok = cell_e < n * n
+    local_e = jnp.where(ok, cell_e % tc, -1)
+    sub_e = (cell_e // tc) % g  # sub-tile within the supertile
+    w_e = jnp.where(ok, sub_e * num_words + w_e, -1)
+    hi_e = jnp.where(ok, (sub_e + 1) * num_words, 0)
+    return local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
-def _gather_event_batches(cell_e, w_e, mask_e, cnt_e, starts, ends, *,
+def _gather_event_batches(cell_e, w_e, hi_e, mask_e, cnt_e, starts, ends, *,
                           tb: int):
-    """Batch materialization for the 4 event arrays (inert pads)."""
+    """Batch materialization for the 5 event arrays (inert pads)."""
     local, wvals = _gather_batches(cell_e, w_e, starts, ends, tb=tb)
     nvalid = mask_e.shape[0]
     idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
     in_range = idx < ends[:, None]
     idx_c = jnp.clip(idx, 0, max(nvalid - 1, 0))
+    his = jnp.where(in_range, hi_e[idx_c], 0)
     masks = jnp.where(in_range, mask_e[idx_c], jnp.uint32(0))
     cnts = jnp.where(in_range, cnt_e[idx_c], 0)
-    return local, wvals, masks.astype(jnp.int32), cnts.astype(jnp.int32)
+    return (local, wvals, his.astype(jnp.int32), masks.astype(jnp.int32),
+            cnts.astype(jnp.int32))
 
 
 class WordEventVoxPlan:
@@ -269,16 +297,18 @@ class WordEventVoxPlan:
         self.num_words = n // WORD_BITS
         num_tiles = (n * n) // tc
         self.num_tiles = num_tiles
+        self.group = _group_factor(self.num_words, num_tiles)
+        self.num_super = num_tiles // self.group
 
         if fragments is None:
             if frag_plan is None:
                 frag_plan = FragmentPlan(mesh, spec)
             fragments = fragments_from_plan(frag_plan)
         cells, xs = (jnp.asarray(a) for a in fragments)
-        local_e, w_e, mask_e, cnt_e, bounds_d, n_ev = _build_events(
+        local_e, w_e, hi_e, mask_e, cnt_e, bounds_d, n_ev = _build_events(
             cells, xs, n=n, tc=tc
         )
-        # Tiny D2H: the (num_tiles + 1) bounds + one scalar.
+        # Tiny D2H: the (num_super + 1) bounds + one scalar.
         bounds = np.asarray(bounds_d)
         self.num_events = int(np.asarray(n_ev))
         self.num_fragments = int(cells.shape[0])
@@ -289,28 +319,198 @@ class WordEventVoxPlan:
         bcount = len(batch_tiles)
         starts = jnp.asarray(starts_h.astype(np.int32))
         ends = jnp.asarray(ends_h.astype(np.int32))
-        cells_b, w_b, mask_b, cnt_b = _gather_event_batches(
-            local_e, w_e, mask_e, cnt_e, starts, ends, tb=tb
+        cells_b, w_b, hi_b, mask_b, cnt_b = _gather_event_batches(
+            local_e, w_e, hi_e, mask_e, cnt_e, starts, ends, tb=tb
         )
         self.cells = cells_b.reshape(bcount, tb_sub, TB_LANE)
         self.ws = w_b.reshape(bcount, tb_sub, TB_LANE)
+        self.his = hi_b.reshape(bcount, tb_sub, TB_LANE)
         self.masks = mask_b.reshape(bcount, tb_sub, TB_LANE)
         self.cnts = cnt_b.reshape(bcount, tb_sub, TB_LANE)
         self.batch_tile = jnp.asarray(batch_tiles, jnp.int32)
         self.flags = jnp.asarray(flags, jnp.int32)
-        self.tile_mask = jnp.asarray(tile_mask)
+        self.tile_mask = jnp.asarray(tile_mask)  # per SUPERTILE
         self.num_batches = bcount
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "num_tiles", "tc", "tb_sub"))
-def _we_words(cells, ws, masks, cnts, batch_tile, flags, tile_mask, *,
+def _we_words(cells, ws, his, masks, cnts, batch_tile, flags, tile_mask, *,
               n: int, num_tiles: int, tc: int, tb_sub: int):
-    words = _run_we(cells, ws, masks, cnts, batch_tile, flags,
-                    num_words=n // WORD_BITS, num_tiles=num_tiles, tc=tc,
+    num_words = n // WORD_BITS
+    words = _run_we(cells, ws, his, masks, cnts, batch_tile, flags,
+                    num_words=num_words, num_tiles=num_tiles, tc=tc,
                     tb_sub=tb_sub)
     words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
-    return words.reshape(n, n, n // WORD_BITS)
+    g = _group_factor(num_words, num_tiles)
+    if g > 1:
+        # Unpack the lane panel: (S, tc, g, nw) -> sub-tiles are
+        # consecutive cell runs, so reorder to (S, g, tc, nw).
+        words = words.reshape(-1, tc, g, num_words).transpose(0, 2, 1, 3)
+    return words.reshape(n, n, num_words)
+
+
+# ---------------------------------------------------------------------------
+# Fused device-side total pipeline (round 3)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_super", "tb", "b_max"))
+def _device_batches(bounds, *, num_super: int, tb: int, b_max: int):
+    """Batch layout ON DEVICE: replaces the `tile_batches` host loop (and
+    its bounds D2H round trip) with a static-capacity searchsorted
+    layout. Batch i belongs to the supertile whose cumulative-batch
+    range contains i; spares beyond the true batch count target a dummy
+    output block. Returns (batch_tile, flags, starts, ends, overflow);
+    `overflow` > 0 means b_max was too small and the result is missing
+    that many batches (callers must check and rebuild with more slack).
+    """
+    counts = jnp.diff(bounds)
+    nb = -((-counts) // tb)  # ceil(counts / tb); 0 for empty supertiles
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb, dtype=jnp.int32)])
+    total = cum[-1]
+    bi = jnp.arange(b_max, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(cum, bi, side="right").astype(jnp.int32) - 1,
+        0, num_super - 1)
+    j = bi - cum[t]
+    valid = bi < total
+    starts = jnp.where(valid, bounds[t] + j * tb, 0)
+    ends = jnp.where(valid, jnp.minimum(starts + tb, bounds[t + 1]), 0)
+    flags = (jnp.where(j == 0, FLAG_FIRST, 0)
+             | jnp.where(j == nb[t] - 1, FLAG_LAST, 0))
+    flags = jnp.where(valid, flags, FLAG_FIRST | FLAG_LAST)
+    batch_tile = jnp.where(valid, t, num_super)  # spares -> dummy block
+    overflow = jnp.maximum(total - b_max, 0)
+    return batch_tile, flags, starts, ends, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tc", "tb_sub", "b_max"))
+def _device_words_from_fragments(cells, xs, *, n: int, tc: int, tb_sub: int,
+                                 b_max: int):
+    """Fragments -> packed words, entirely on device (single trace)."""
+    num_words = n // WORD_BITS
+    num_tiles = (n * n) // tc
+    g = _group_factor(num_words, num_tiles)
+    num_super = num_tiles // g
+    tb = tb_sub * TB_LANE
+    local_e, w_e, hi_e, mask_e, cnt_e, bounds, _ = _build_events(
+        cells, xs, n=n, tc=tc)
+    batch_tile, flags, starts, ends, overflow = _device_batches(
+        bounds, num_super=num_super, tb=tb, b_max=b_max)
+    cb, wb, hb, mb, ctb = _gather_event_batches(
+        local_e, w_e, hi_e, mask_e, cnt_e, starts, ends, tb=tb)
+    shape3 = (b_max, tb_sub, TB_LANE)
+    words = _run_we(
+        cb.reshape(shape3), wb.reshape(shape3), hb.reshape(shape3),
+        mb.reshape(shape3), ctb.reshape(shape3), batch_tile, flags,
+        num_words=num_words, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
+        dummy=True)
+    tile_mask = jnp.diff(bounds) > 0
+    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
+    if g > 1:
+        words = words.reshape(-1, tc, g, num_words).transpose(0, 2, 1, 3)
+    return words.reshape(n, n, num_words), overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("windows", "n", "tc", "tb_sub", "b_max"))
+def _total_jit(bucket_arrays, origin, voxel_size, *, windows, n: int,
+               tc: int, tb_sub: int, b_max: int):
+    all_cells, all_xs = [], []
+    for window, (v0, v1, v2, sy, sz) in zip(windows, bucket_arrays):
+        c, x = _emit(v0, v1, v2, sy, sz, window=window, n=n,
+                     origin=origin, voxel_size=voxel_size)
+        all_cells.append(c)
+        all_xs.append(x)
+    if not all_cells:  # empty mesh: one sentinel fragment
+        all_cells = [jnp.full((1,), n * n, jnp.int32)]
+        all_xs = [jnp.zeros((1,), jnp.int32)]
+    cells = jnp.concatenate(all_cells)
+    xs = jnp.concatenate(all_xs)
+    return _device_words_from_fragments(cells, xs, n=n, tc=tc,
+                                        tb_sub=tb_sub, b_max=b_max)
+
+
+def _emit(*args, **kw):
+    from voxtpu.ops.vox import emit_fragments
+
+    return emit_fragments(*args, **kw)
+
+
+class DeviceVoxPipeline:
+    """Whole-pipeline voxelizer: ONE jit dispatch from triangle coords to
+    the packed grid, nothing host-side per call.
+
+    This is the quantity the reference's headline CSV rows time: its
+    `VOX::Compute<TILED>` scope rebuilds the tile work queue, sorts it,
+    and runs the kernel per call (`vox/tiled.cu:489-576`). Here the
+    per-call work is fragment emission (rasterization), the word-event
+    reduction (sorts + scan), the device-side batch layout, and the MXU
+    kernel — recomputed from `coords` every call, so vertex positions
+    may change freely (the fit loop's hard-vox analog).
+
+    Static pieces built once at init: triangle buckets (window-size
+    classes; topology-dependent) and the batch CAPACITY `b_max` (the
+    Pallas grid is static under jit). `__call__` returns the grid plus
+    an `overflow` scalar — nonzero means the capacity was exceeded
+    (coords drifted far; rebuild the pipeline), and the result is
+    incomplete.
+    """
+
+    def __init__(self, mesh: Mesh, spec: GridSpec, tc: int = TILE_CELLS,
+                 tb_sub: int = TB_SUB, slack: float = 1.0):
+        n = spec.n
+        if n % WORD_BITS != 0:
+            raise ValueError("pallas vox requires N % 32 == 0")
+        self.spec = spec
+        self.tc = tc
+        self.tb_sub = tb_sub
+        frag_plan = FragmentPlan(mesh, spec)
+        self.windows = tuple(b[0] for b in frag_plan.buckets)
+        self.bucket_arrays = tuple(
+            tuple(b[i] for i in range(1, 6)) for b in frag_plan.buckets)
+        # Size the static batch capacity from the real event layout
+        # (exact for fixed coords; `slack` headroom for moving ones).
+        probe = WordEventVoxPlan(mesh, spec, frag_plan=frag_plan, tc=tc,
+                                 tb_sub=tb_sub)
+        self.b_max = max(int(np.ceil(probe.num_batches * slack)), 1)
+        self.num_events = probe.num_events
+        self.num_fragments = probe.num_fragments
+        self.num_batches = probe.num_batches
+
+    def words(self, coords=None):
+        """Packed words + overflow scalar (both device arrays).
+
+        `coords` replaces every bucket's vertex rows when given — pass
+        the full (V, 3) array; buckets index it statically at trace time
+        via their original vertex gathers is NOT supported (buckets
+        carry materialized vertex triples), so `coords` must be None for
+        now and motion goes through rebuilding. Kept explicit to make
+        the contract obvious.
+        """
+        if coords is not None:
+            raise NotImplementedError(
+                "per-call coords need index-carrying buckets; rebuild the "
+                "pipeline on vertex motion instead")
+        origin = jnp.asarray(self.spec.origin, jnp.float32)
+        vs = jnp.float32(self.spec.voxel_size)
+        return _total_jit(self.bucket_arrays, origin, vs,
+                          windows=self.windows, n=self.spec.n, tc=self.tc,
+                          tb_sub=self.tb_sub, b_max=self.b_max)
+
+    def __call__(self) -> VoxelGrid:
+        words, overflow = self.words()
+        if int(overflow) != 0:
+            raise RuntimeError(
+                f"batch capacity exceeded by {int(overflow)}; rebuild the "
+                "pipeline (coords drifted) or raise slack")
+        return VoxelGrid(
+            words=words,
+            origin=jnp.asarray(self.spec.origin, jnp.float32),
+            voxel_size=jnp.float32(self.spec.voxel_size),
+        )
 
 
 def voxelize_pallas_we(mesh: Mesh, spec: GridSpec,
@@ -320,8 +520,8 @@ def voxelize_pallas_we(mesh: Mesh, spec: GridSpec,
     if plan is None or isinstance(plan, FragmentPlan):
         plan = WordEventVoxPlan(mesh, spec, frag_plan=plan)
     words = _we_words(
-        plan.cells, plan.ws, plan.masks, plan.cnts, plan.batch_tile,
-        plan.flags, plan.tile_mask,
+        plan.cells, plan.ws, plan.his, plan.masks, plan.cnts,
+        plan.batch_tile, plan.flags, plan.tile_mask,
         n=spec.n, num_tiles=plan.num_tiles, tc=plan.tc, tb_sub=plan.tb_sub,
     )
     return VoxelGrid(
