@@ -70,6 +70,12 @@ def main() -> int:
         got = np.asarray(voxelize_wq(mesh, spec).to_dense())
         np.testing.assert_array_equal(got, occ_ref)
 
+    def vox_total():
+        from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
+
+        got = np.asarray(DeviceVoxPipeline(mesh, spec)().to_dense())
+        np.testing.assert_array_equal(got, occ_ref)
+
     spec32 = GridSpec(n=32, origin=(0.1, -0.2, 0.3), voxel_size=1.0 / 32)
     zz, yy, xx = np.indices((32, 32, 32))
     ball = ((zz - 15.5) ** 2 + (yy - 15.5) ** 2 + (xx - 15.5) ** 2
@@ -89,7 +95,7 @@ def main() -> int:
             jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32))
         np.testing.assert_allclose(got, sdf_ref, rtol=1e-5, atol=1e-7)
 
-    def _soft_engine_check(engine):
+    def _soft_engine_check(engine, mode=None):
         # Self-contained: the engine's jax.grad vs ITS OWN central
         # differences on a generic-position tet (cross-engine gradient
         # comparisons are meaningless on meshes with near-X-degenerate
@@ -123,7 +129,8 @@ def main() -> int:
 
             eplan = FusedSoftPlan(soft_plan)
             fwd = lambda c: soft_voxelize_fused(
-                c, eplan, tau_edge_frac=1.0, tau_x_frac=1.0, clip=False)
+                c, eplan, tau_edge_frac=1.0, tau_x_frac=1.0, clip=False,
+                mode=mode or "exact8")
 
         def loss(c):
             return jnp.sum(fwd(c) * probe)
@@ -145,19 +152,20 @@ def main() -> int:
             assert abs(fd - g[v, a]) <= 5e-2 * max(1.0, abs(fd)), (
                 f"{engine} v{v} a{a}: fd={fd:.5f} grad={g[v, a]:.5f}")
 
-    def soft_fwd_bwd():
-        _soft_engine_check("pallas")
-
-    def soft_fused_fwd_bwd():
-        _soft_engine_check("fused")
-
     check("vox_pallas_suffix@64", vox_suffix)
     check("vox_pallas_word_event@64", vox_we)
     check("vox_pallas_work_queue@64", vox_wq)
+    check("vox_device_total@64", vox_total)
     check("jfa_pallas_fused@32", jfa_fused)
     check("jfa_pallas_stepped@32", jfa_stepped)
-    check("soft_vox_pallas_fwd_bwd@32", soft_fwd_bwd)
-    check("soft_vox_fused_fwd_bwd@32", soft_fused_fwd_bwd)
+    check("soft_vox_pallas_fwd_bwd@32",
+          lambda: _soft_engine_check("pallas"))
+    # Both fused precision modes must gradcheck on hardware — "exact8"
+    # is the round-3 fast path (bit-exact int8 gathers + 2/3-pass bf16
+    # smooth dots); "highest" is the round-2 reference behavior.
+    for m in ("exact8", "highest"):
+        check(f"soft_vox_fused_fwd_bwd@32[{m}]",
+              lambda m=m: _soft_engine_check("fused", mode=m))
 
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", file=sys.stderr)

@@ -191,6 +191,55 @@ class VoxelFit:
             step=jnp.zeros((), jnp.int32),
         )
 
+    # -- checkpoint / resume (aux subsystem; no reference analog — the
+    # CUDA CLI is batch-only, SURVEY.md §5 "checkpoint: not present") --
+
+    def save_checkpoint(self, path, state: FitState) -> None:
+        """Persist (coords, opt_state, step, plan fingerprint) to one
+        .npz. Restoring with :meth:`load_checkpoint` on a VoxelFit built
+        with the same optimizer resumes bit-identically (tested)."""
+        import numpy as _np
+
+        leaves = jax.tree_util.tree_leaves(
+            (state.coords, state.opt_state, state.step))
+        payload = {f"leaf_{i}": _np.asarray(v) for i, v in enumerate(leaves)}
+        payload["plan_coords"] = _np.asarray(
+            self._plan_coords if self._plan_coords is not None
+            else state.coords)
+        payload["bookkeeping"] = _np.asarray(
+            [self._steps_seen, self.refresh_count], _np.int64)
+        _np.savez(path, **payload)
+
+    def load_checkpoint(self, path) -> FitState:
+        """Rebuild a FitState from :meth:`save_checkpoint` output.
+
+        The optimizer-state tree structure is recovered by flattening a
+        freshly initialized state with this fit's own optimizer, so the
+        checkpoint stays a plain array bundle (no pickled treedefs). If
+        the saved plan fingerprint differs from this fit's plan, the
+        plan is refreshed from the restored coordinates."""
+        import numpy as _np
+
+        data = _np.load(path)
+        nleaves = len([k for k in data.files if k.startswith("leaf_")])
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(nleaves)]
+        coords_t = leaves[0]
+        template = (coords_t, self.optimizer.init(coords_t),
+                    jnp.zeros((), jnp.int32))
+        treedef = jax.tree_util.tree_structure(template)
+        coords, opt_state, step = jax.tree_util.tree_unflatten(
+            treedef, leaves)
+        self._plan_coords = jnp.asarray(data["plan_coords"])
+        seen, refreshed = (int(x) for x in data["bookkeeping"])
+        self._steps_seen = seen
+        self.refresh_count = refreshed
+        state = FitState(coords=coords, opt_state=opt_state, step=step)
+        # Stale-plan guard: the checkpoint may be resumed against a plan
+        # built from different coordinates.
+        if float(self.drift_voxels(coords)) > self.drift_limit_vox:
+            self.maybe_refresh_plan(state, force=True)
+        return state
+
     def loss(self, coords) -> jnp.ndarray:
         return self._loss(jnp.asarray(coords, jnp.float32))
 

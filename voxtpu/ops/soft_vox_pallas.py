@@ -24,10 +24,13 @@ the sort/batch layout is host-built once and reused; only (w, x_hit)
 are traced, and their cotangents flow back through the batch gather's
 transpose (a scatter over a permutation — cheap).
 
-All kernel dots run at Precision.HIGHEST: the TPU MXU's default f32
-path rounds operands to single-pass bf16, which turns the one-hot
-coefficient/fragment gathers into lossy reads (~0.4% per value) and
-fails finite-difference gradchecks on hardware by >10%.
+Kernel dots run the manual bf16_3x algorithm (round 3): the MXU's
+default f32 path rounds operands to single-pass bf16, which fails FD
+gradchecks on hardware by >10%; Precision.HIGHEST (6 f32 passes) fixes
+it but doubles the necessary MXU work. The hi+lo bf16 split
+(`soft_vox_fused._dot_hi`, 3 passes; 2 when one operand is 0/1)
+restores f32 fidelity at half HIGHEST's cost — validated by the same
+on-hardware gradchecks (`scripts/tpu_smoke.py`).
 """
 
 from __future__ import annotations
@@ -65,12 +68,9 @@ def _fwd_kernel(n: int, tc: int, tb_sub: int):
                 cell_iota == cells_s[None, :], w_s[None, :], 0.0
             ).astype(jnp.float32)                              # (TC, 128)
             sig = jax.nn.sigmoid((x_s[:, None] - cx) / tau)    # (128, N)
-            part += jax.lax.dot_general(
-                onehot_w, sig,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            from voxtpu.ops.soft_vox_fused import _dot_hi
+
+            part += _dot_hi(onehot_w, sig, (((1,), (0,)), ((), ())))
 
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
@@ -102,13 +102,12 @@ def _bwd_kernel(n: int, tc: int, tb_sub: int):
             w_s = w_ref[0, s, :]
             x_s = x_ref[0, s, :]
             onehot = (cell_iota == cells_s[None, :]).astype(jnp.float32)
-            # PG[f, x] = onehot^T @ G : gather each fragment's cell row.
-            pg = jax.lax.dot_general(
-                onehot, g_tile,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                                   # (128, N)
+            # PG[f, x] = onehot^T @ G : gather each fragment's cell row
+            # (0/1 left operand -> 2-pass split of g_tile suffices).
+            from voxtpu.ops.soft_vox_fused import _dot_hi_onehot
+
+            pg = _dot_hi_onehot(onehot, g_tile,
+                                (((0,), (0,)), ((), ())), 0)    # (128, N)
             sig = jax.nn.sigmoid((x_s[:, None] - cx) / tau)
             dw_ref[0, s, :] = jnp.sum(pg * sig, axis=1)
             dx_ref[0, s, :] = (w_s / tau) * jnp.sum(

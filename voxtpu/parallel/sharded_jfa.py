@@ -9,9 +9,19 @@ most one device away while k <= slab thickness. Two regimes:
   down along the "z" mesh axis), then run the local 26-neighbor stencil
   on the halo-padded slab. Communication: 2 * k * N^2 * 4 bytes per
   state array.
-- **k >= slab**: the first log2(dz) steps reach across several devices;
-  `all_gather` the slabs (these early steps are few and the reference
-  equivalently reads the whole grid each step).
+- **k >= slab**: the step reaches across devices — but because k and
+  slab are both powers of two, k is an exact whole-slab multiple, so
+  the z +/- k planes of a local slab are precisely the FULL SLABS of
+  devices idx -/+ k/slab. A strided `ppermute` (shift m = k/slab)
+  fetches exactly those two slabs: 2 * slab * N^2 * 4 bytes per state
+  array per step — vs the round-2 `all_gather` of the whole grid
+  ((dz-1) * slab * N^2 * 4, i.e. dz/2 x more wire traffic; at 2048^3
+  wide encoding on 8 devices that was 60.1 GB/step/device, now
+  17.2 GB). A compacted seed-LIST exchange (boundary seeds ~ N^2) was
+  considered and rejected: it changes the step into a brute-force
+  nearest-seed scan (O(slab N^2 * |seeds|) compute), needs density
+  thresholds, and the strided ppermute is already exact with the same
+  per-voxel stencil cost.
 
 State is the packed int32 seed grid (-1 = no seed) up to N = 1024 — the
 HBM-traffic-minimal formulation of `voxtpu.ops.jfa.jfa_xla` — and the
@@ -107,23 +117,56 @@ def _step_local(state, fills, sel_fn, k: int, n: int, slab: int,
     return _minimize(state, sel_fn(state), view, sel_fn)[0]
 
 
-def _step_gathered(state, fills, sel_fn, k: int, n: int, slab: int,
-                   axis_name: str):
-    """Flood step for k >= slab: all_gather the seed state, dynamic-slice
-    the local slab's neighbor views."""
-    padded = tuple(
-        jnp.pad(jax.lax.all_gather(s, axis_name, tiled=True), k,
-                constant_values=jnp.int32(f))
-        for s, f in zip(state, fills)
-    )
-    z0 = jax.lax.axis_index(axis_name) * slab
+def _fetch_slab(arr, shift: int, axis_name: str, fill):
+    """The full slab of device idx+shift (sentinel fill past the edge)."""
+    nz = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, i - shift) for i in range(nz) if 0 <= i - shift < nz]
+    got = jax.lax.ppermute(arr, axis_name, perm)
+    src = idx + shift
+    oob = (src < 0) | (src >= nz)
+    return jnp.where(oob, jnp.full_like(got, fill), got)
+
+
+def _step_strided(state, fills, sel_fn, k: int, n: int, slab: int,
+                  axis_name: str):
+    """Flood step for k >= slab: k is an exact slab multiple (both are
+    powers of two), so the z -/+ k neighbor planes are the whole slabs
+    of devices idx -/+ k/slab — two strided `ppermute`s replace the
+    round-2 full-grid `all_gather` (module docstring; dz/2 x less wire
+    traffic, bit-identical results)."""
+    m = k // slab
+    blocks = []  # per dz offset (-1, 0, +1): padded state tuple
+    for shift in (-m, 0, m):
+        blk = tuple(
+            _pad_yx(
+                s if shift == 0
+                else _fetch_slab(s, shift, axis_name, jnp.int32(f)),
+                k, jnp.int32(f))
+            for s, f in zip(state, fills)
+        )
+        blocks.append(blk)
 
     def view(dz, dy, dx):
-        start = (z0 + k + dz * k, k + dy * k, k + dx * k)
-        return tuple(jax.lax.dynamic_slice(p, start, (slab, n, n))
-                     for p in padded)
+        sl = (slice(0, slab),
+              slice(k + dy * k, k + dy * k + n),
+              slice(k + dx * k, k + dx * k + n))
+        return tuple(p[sl] for p in blocks[dz + 1])
 
     return _minimize(state, sel_fn(state), view, sel_fn)[0]
+
+
+def comm_bytes_per_step(n: int, dz: int, encoding: str, k: int,
+                        gathered: bool = False) -> int:
+    """Per-device wire bytes for one flood step (analysis helper; the
+    `gathered` flag reports the replaced round-2 all_gather path)."""
+    arrays = len(_FILLS[encoding])
+    slab = n // dz
+    if k < slab:
+        return 2 * k * n * n * 4 * arrays
+    if gathered:
+        return (dz - 1) * slab * n * n * 4 * arrays
+    return 2 * slab * n * n * 4 * arrays
 
 
 def _init_local(occ, n: int, slab: int, axis_name: str, encoding: str):
@@ -187,7 +230,7 @@ def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z",
             out_fn = sel_fn
         k = n // 2
         while k >= 1:
-            step = _step_local if k < slab else _step_gathered
+            step = _step_local if k < slab else _step_strided
             state = step(state, fills, sel_fn, k, n, slab, axis_name)
             k //= 2
         sign = jnp.where(occ_slab, jnp.float32(1), jnp.float32(-1))
