@@ -81,17 +81,23 @@ class FragmentPlan:
         v0, v1, v2, start_y, start_z, w = _triangle_windows(mesh, spec)
         self.spec = spec
         self.buckets = []  # list of (W, v0, v1, v2, start_y, start_z)
-        wmax = 1
-        while wmax < max(int(w.max(initial=1)), 1):
-            wmax *= 2
-        wclass = 1
+        # Window classes 1,2,3,4,6,8,12,16,... (pow2 + 1.5x pow2):
+        # candidate cells scale with W^2, and real meshes concentrate at
+        # tiny W (1.35M-face bunny @512^3: 85% at W=2, 10% at W=3), so
+        # the finer ladder cuts padded candidates ~1.6x vs pure pow2 —
+        # sort/scan cost in the per-call total pipeline scales with it.
+        wmax = max(int(w.max(initial=1)), 1)
+        classes = [1, 2, 3]
+        c = 4
+        while classes[-1] < wmax:
+            classes += [c, c + c // 2]
+            c *= 2
         lo = 0
-        while wclass <= wmax:
-            sel = (w > lo) & (w <= wclass) if wclass > 1 else (w <= 1)
-            sel &= w > 0
+        for wclass in classes:
+            sel = (w > lo) & (w <= wclass)
             idx = np.nonzero(sel)[0]
             if idx.size:
-                pad = _next_pow2(idx.size)
+                pad = _pad_granular(idx.size)
                 take = lambda a: _pad_rows(a[idx], pad)
                 self.buckets.append(
                     (
@@ -104,7 +110,6 @@ class FragmentPlan:
                     )
                 )
             lo = wclass
-            wclass *= 2
         self.num_fragments = sum(
             b[1].shape[0] * min(b[0], spec.n) ** 2 for b in self.buckets
         )
@@ -112,6 +117,14 @@ class FragmentPlan:
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
+
+
+def _pad_granular(count: int) -> int:
+    """Row padding at 1/8-octave granularity: <= 12.5% waste (pure pow2
+    wasted up to 2x) while keeping the set of compiled shapes small
+    (8 sizes per octave) for plan-refresh loops."""
+    gran = max(256, _next_pow2(count) // 8)
+    return -(-count // gran) * gran
 
 
 def _pad_rows(a: np.ndarray, rows: int, fill=0):

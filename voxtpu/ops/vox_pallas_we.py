@@ -203,46 +203,57 @@ def _build_events(cells, xs, *, n: int, tc: int):
     exclusive lane bound (g+1)*nw, `bounds` the per-SUPERTILE event
     ranges (num_super + 1).
     """
+    # Round-3 rewrite: NO element gathers anywhere. TPU element gathers
+    # at F ~ 10M run ~0.6 GB/s (70+ ms each; the previous formulation
+    # paid 4), while lax.sort moves the same data in tens of ms — so
+    # the segment compaction CARRIES its values through one extra sort,
+    # and segment ends/prefixes come from the compacted arrays' own
+    # neighbors (end[i] = start[i+1] - 1).
     f = cells.shape[0]
     num_words = n // WORD_BITS
     wf = jnp.minimum(xs // WORD_BITS, num_words - 1)
-    bf = xs % WORD_BITS
-    cells_s, wf_s, bf_s = jax.lax.sort((cells, wf, bf), num_keys=2)
-    mask_s = (jnp.uint32(0xFFFFFFFF) << bf_s.astype(jnp.uint32))
-    # Invalid fragments (sentinel cell) must contribute nothing.
-    valid_s = cells_s < n * n
-    mask_s = jnp.where(valid_s, mask_s, jnp.uint32(0))
+    valid = cells < n * n
+    # Composite uint32 key cell*nw + w; invalid fragments -> 0xFFFFFFFF
+    # (> every valid key: cell*nw + w <= n^2*nw - 1 <= 2^31 - 1 at 4096).
+    ckey = (cells.astype(jnp.uint32) * jnp.uint32(num_words)
+            + wf.astype(jnp.uint32))
+    ckey = jnp.where(valid, ckey, jnp.uint32(0xFFFFFFFF))
+    mask = jnp.uint32(0xFFFFFFFF) << (xs % WORD_BITS).astype(jnp.uint32)
+    mask = jnp.where(valid, mask, jnp.uint32(0))
+    ckey_s, mask_s = jax.lax.sort((ckey, mask), num_keys=1)
 
     iota = jnp.arange(f, dtype=jnp.int32)
-    changed = (cells_s != jnp.roll(cells_s, 1)) | (wf_s != jnp.roll(wf_s, 1))
-    start = changed.at[0].set(True)
-    end = jnp.roll(start, -1)  # segment ends: next position starts anew
+    start = ckey_s != jnp.roll(ckey_s, 1)
+    start = start.at[0].set(True)
 
-    # Exclusive XOR prefix -> segment XOR = P[end+1] ^ P[start].
     from voxtpu.ops.vox import _cumxor
 
-    scan = _cumxor(mask_s)
-    p_excl = jnp.concatenate([jnp.zeros((1,), jnp.uint32), scan])
+    scan = _cumxor(mask_s)           # inclusive XOR prefix
+    p_own = scan ^ mask_s            # exclusive prefix at own position
 
+    # Compaction sort: segment starts to the front, carrying (key,
+    # exclusive prefix). Ascending start positions preserve key order.
     big = jnp.int32(f)
-    spos = jax.lax.sort(jnp.where(start, iota, big))
-    epos = jax.lax.sort(jnp.where(end, iota, big))
-    sv = jnp.minimum(spos, f - 1)
-    ev = jnp.minimum(epos, f - 1)
+    spos, ckey_e, pexcl_e = jax.lax.sort(
+        (jnp.where(start, iota, big), ckey_s, p_own), num_keys=1)
     pad = spos >= big
 
-    cell_e = jnp.where(pad, jnp.int32(n * n), cells_s[sv])
-    w_e = jnp.where(pad, jnp.int32(-1), wf_s[sv])
-    mask_e = jnp.where(pad, jnp.uint32(0), p_excl[ev + 1] ^ p_excl[sv])
-    cnt_e = jnp.where(pad, 0, (ev - sv + 1) & 1)
-    # Events of invalid fragments: keep slots but neutralize them (their
-    # segment sits at the tail; cell_e is already the sentinel).
-    invalid = cell_e >= n * n
-    cell_e = jnp.where(invalid, jnp.int32(n * n), cell_e)
-    w_e = jnp.where(invalid, -1, w_e)
-    mask_e = jnp.where(invalid, jnp.uint32(0), mask_e)
-    cnt_e = jnp.where(invalid, 0, cnt_e)
-    num_events = jnp.sum(start & valid_s, dtype=jnp.int32)
+    # Segment i ends where segment i+1 begins; the slot after the last
+    # real segment is a pad, whose "exclusive prefix" is the total XOR.
+    total = scan[-1]
+    pad_next = jnp.concatenate([pad[1:], jnp.ones((1,), bool)])
+    nxt_p = jnp.where(pad_next, total,
+                      jnp.concatenate([pexcl_e[1:], pexcl_e[:1]]))
+    nxt_s = jnp.where(pad_next, f,
+                      jnp.concatenate([spos[1:], spos[:1]]))
+    invalid = pad | (ckey_e == jnp.uint32(0xFFFFFFFF))
+    mask_e = jnp.where(invalid, jnp.uint32(0), nxt_p ^ pexcl_e)
+    cnt_e = jnp.where(invalid, 0, (nxt_s - spos) & 1)
+    cell_e = jnp.where(invalid, jnp.int32(n * n),
+                       (ckey_e // num_words).astype(jnp.int32))
+    w_raw = (ckey_e % num_words).astype(jnp.int32)
+    num_events = jnp.sum(start & (ckey_s != jnp.uint32(0xFFFFFFFF)),
+                         dtype=jnp.int32)
 
     num_tiles = (n * n) // tc
     g = _group_factor(num_words, num_tiles)
@@ -250,10 +261,10 @@ def _build_events(cells, xs, *, n: int, tc: int):
     super_key = jnp.minimum(cell_e // (tc * g), num_super)
     probes = jnp.arange(num_super + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(super_key, probes).astype(jnp.int32)
-    ok = cell_e < n * n
+    ok = ~invalid
     local_e = jnp.where(ok, cell_e % tc, -1)
     sub_e = (cell_e // tc) % g  # sub-tile within the supertile
-    w_e = jnp.where(ok, sub_e * num_words + w_e, -1)
+    w_e = jnp.where(ok, sub_e * num_words + w_raw, -1)
     hi_e = jnp.where(ok, (sub_e + 1) * num_words, 0)
     return local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events
 
@@ -319,8 +330,10 @@ class WordEventVoxPlan:
         bcount = len(batch_tiles)
         starts = jnp.asarray(starts_h.astype(np.int32))
         ends = jnp.asarray(ends_h.astype(np.int32))
+        cap = min(local_e.shape[0], bcount * tb)  # see fused-path note
         cells_b, w_b, hi_b, mask_b, cnt_b = _gather_event_batches(
-            local_e, w_e, hi_e, mask_e, cnt_e, starts, ends, tb=tb
+            local_e[:cap], w_e[:cap], hi_e[:cap], mask_e[:cap],
+            cnt_e[:cap], starts, ends, tb=tb
         )
         self.cells = cells_b.reshape(bcount, tb_sub, TB_LANE)
         self.ws = w_b.reshape(bcount, tb_sub, TB_LANE)
@@ -399,8 +412,14 @@ def _device_words_from_fragments(cells, xs, *, n: int, tc: int, tb_sub: int,
         cells, xs, n=n, tc=tc)
     batch_tile, flags, starts, ends, overflow = _device_batches(
         bounds, num_super=num_super, tb=tb, b_max=b_max)
+    # Events live in the first <= b_max*tb slots (each real event has a
+    # batch slot; invalid ones sort past bounds[-1] and are never
+    # addressed). Gathering from the sliced prefix instead of the full
+    # F-length arrays keeps the gather's source cache-resident.
+    cap = min(local_e.shape[0], b_max * tb)
     cb, wb, hb, mb, ctb = _gather_event_batches(
-        local_e, w_e, hi_e, mask_e, cnt_e, starts, ends, tb=tb)
+        local_e[:cap], w_e[:cap], hi_e[:cap], mask_e[:cap], cnt_e[:cap],
+        starts, ends, tb=tb)
     shape3 = (b_max, tb_sub, TB_LANE)
     words = _run_we(
         cb.reshape(shape3), wb.reshape(shape3), hb.reshape(shape3),
