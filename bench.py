@@ -301,9 +301,13 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
     from voxtpu.grids.voxel_grid import VoxelGrid
     from voxtpu.utils.timing import time_device_fn
 
-    # Ball occupancy by default for every op: the target grid is just a
-    # loss operand for softvox, and the XLA voxelizer does not compile
-    # within budget at 512^3+ on the tunneled chip (BENCH_NOTES.md).
+    # Ball occupancy by default: flood/boolean cost is layout-
+    # independent, and skipping a 512^3+ voxelization keeps the bench in
+    # the driver's time budget. (The word-event rewrite of the XLA
+    # backend compiles AND runs at 512^3 on hardware — 734 ms measured
+    # 2026-08-17, resolving the round-2 contradiction; it is the
+    # correctness backend, 4000x off the pallas kernel, so benches
+    # default to pallas/ball.)
     if os.environ.get("BENCH_OCC", "ball") == "mesh" or (
         op == "softvox" and n <= 256
     ):

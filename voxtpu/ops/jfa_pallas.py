@@ -43,28 +43,32 @@ def _step_kernel(n: int, k: int):
 
     def kernel(seed_m, seed_0, seed_p, org_ref, out_seed):
         z = pl.program_id(0)
+        ox, oy, oz, vs = org_ref[0], org_ref[1], org_ref[2], org_ref[3]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # y
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # x
+        px = ox + cols.astype(jnp.float32) * vs
+        py = oy + rows.astype(jnp.float32) * vs
+        pz = oz + jnp.float32(z) * vs
 
-        # Selection by EXACT integer voxel distance (round 3): the flood
-        # only needs an argmin over candidate seeds, and |dx|^2+... in
-        # voxels orders identically to the world-space float distance up
-        # to float-rounding near-ties (the wide XLA encoding already
-        # selects this way, `jfa.py::_seed_d2i_wide`). Dropping the 3
-        # int->f32 converts + coordinate reconstruction per candidate
-        # cuts the VPU work of the 26-candidate scan ~2x; world-space
-        # distances are recomputed once in the final pass (bit-matching
-        # the oracle's output convention). Max d2 = 3*1023^2 < 2^22.
+        # Float world-space selection, the reference's exact formula
+        # (`jfa/jfa.h:19-20`). NOTE (round-3 negative result, kept for
+        # the record): selecting by exact integer voxel distance is ~2x
+        # less VPU work and measured 10.5 ms vs 12.75 ms @256^3 — but
+        # exact-int ties break differently than the oracle's float
+        # comparisons, tie decisions CASCADE through later flood steps,
+        # and ~0.3% of voxels end with a different (sometimes several-%
+        # farther) seed. Bit-parity with the sequential oracle on
+        # hardware is part of this kernel's contract (tpu_smoke gates
+        # on it), so the float formula stays.
         def seed_d2(seed):
-            sx = seed & _MASK10
-            sy = (seed >> 10) & _MASK10
-            sz = (seed >> 20) & _MASK10
-            dx = cols - sx
-            dy = rows - sy
-            dz = z - sz
-            d2 = dx * dx + dy * dy + dz * dz
-            return jnp.where(seed < 0, jnp.int32(0x7FFFFFFF), d2)
+            sx = (seed & _MASK10).astype(jnp.float32)
+            sy = ((seed >> 10) & _MASK10).astype(jnp.float32)
+            sz = ((seed >> 20) & _MASK10).astype(jnp.float32)
+            d2 = ((px - (ox + sx * vs)) ** 2
+                  + (py - (oy + sy * vs)) ** 2
+                  + (pz - (oz + sz * vs)) ** 2)
+            return jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
 
         best_seed = seed_0[0]
         best_d2 = seed_d2(best_seed)

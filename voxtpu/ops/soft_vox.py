@@ -161,7 +161,7 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     plan = FragmentPlan.__new__(FragmentPlan)
     plan.spec = spec
     plan.faces_array = jnp.asarray(mesh.faces)
-    from voxtpu.ops.vox import _pad_rows, _next_pow2, _triangle_windows
+    from voxtpu.ops.vox import _pad_rows, _triangle_windows
     import numpy as np
 
     v0, v1, v2, start_y, start_z, w = _triangle_windows(mesh, spec)
@@ -174,16 +174,23 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     start_y = np.maximum(start_y - pad_window // 2, -pad_window)
     start_z = np.maximum(start_z - pad_window // 2, -pad_window)
     plan.buckets = []
-    lo, wclass = 0, 1
-    wmax = 1
-    while wmax < max(int(w.max(initial=1)), 1):
-        wmax *= 2
-    while wclass <= wmax:
-        sel = ((w > lo) & (w <= wclass)) if wclass > 1 else (w <= 1)
-        sel &= w > 0
+    # Same fine window ladder as the hard path (1,2,3,4,6,8,12,...):
+    # with pad_window=1 most triangles land at W=3, which pure pow2
+    # bucketing rounded to 16-cell windows — 44% wasted raster slots.
+    from voxtpu.ops.vox import _pad_granular
+
+    wmax = max(int(w.max(initial=1)), 1)
+    classes = [1, 2, 3]
+    c = 4
+    while classes[-1] < wmax:
+        classes += [c, c + c // 2]
+        c *= 2
+    lo = 0
+    for wclass in classes:
+        sel = (w > lo) & (w <= wclass)
         idx = np.nonzero(sel)[0]
         if idx.size:
-            pad = _next_pow2(idx.size)
+            pad = _pad_granular(idx.size)
             plan.buckets.append(
                 (
                     int(min(wclass, w_cap)),
@@ -193,7 +200,7 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
                     jnp.asarray(_pad_rows(idx.astype(np.int32), pad, fill=0)),
                 )
             )
-        lo, wclass = wclass, wclass * 2
+        lo = wclass
     plan.num_fragments = sum(
         b[4].shape[0] * min(b[0], w_cap) ** 2 for b in plan.buckets
     )

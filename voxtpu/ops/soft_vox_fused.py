@@ -454,61 +454,104 @@ _fused_accumulate.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 # jnp.take's automatic VJP is a scatter-add — measured ~710 ms for the
 # (B*TBL, 16) -> (T, 16) reduction at 256^3 / 1.35M faces (TPU scatter
 # runs at element-gather speed, ~0.3 GB/s). ROW gathers run at ~10 GB/s,
-# so the transposes below are sums over <= max_k static position tables
-# (missing slots hit a dummy zero row) instead.
+# so the transposes below gather instead — and (round 3) the position
+# tables are CLASS-SPLIT by per-target count: a flat (max_k, T) table
+# gathered max_k x T rows (2.4x the real data at this mesh, 351 ms of
+# the 609 ms fwd+bwd); per-count classes gather exactly the real rows,
+# reassembled into target order by one final permutation gather.
+
+
+def _build_classed_reduction(item_ids: np.ndarray, num_targets: int):
+    """Static layout for an exact gather-based segment reduction.
+
+    item_ids (S,): target id per source row (< 0 = contributes nowhere).
+    Returns (cls_pos, inv): `cls_pos` is a tuple of (c, Tc) int32
+    position tables — the Tc targets with exactly c sources, listing
+    their source rows; `inv` (num_targets,) maps each target to its row
+    in the concatenated per-class output (targets with zero sources map
+    to the appended zero row)."""
+    item_ids = np.asarray(item_ids)
+    order = np.argsort(item_ids, kind="stable")
+    ids_sorted = item_ids[order]
+    v0 = int(np.searchsorted(ids_sorted, 0))
+    vo = order[v0:].astype(np.int64)
+    vi = ids_sorted[v0:]
+    starts = np.searchsorted(vi, np.arange(num_targets + 1))
+    counts = np.diff(starts)
+    cls_pos, targ_order = [], []
+    for c in sorted(set(counts[counts > 0].tolist())):
+        t_c = np.nonzero(counts == c)[0]
+        pos = np.empty((c, t_c.size), np.int32)
+        for j in range(c):
+            pos[j] = vo[starts[t_c] + j]
+        cls_pos.append(jnp.asarray(pos))
+        targ_order.append(t_c)
+    nonzero = (np.concatenate(targ_order) if targ_order
+               else np.zeros(0, np.int64))
+    inv = np.full(num_targets, nonzero.size, np.int32)  # -> zero row
+    inv[nonzero] = np.arange(nonzero.size, dtype=np.int32)
+    return tuple(cls_pos), jnp.asarray(inv)
+
+
+def _classed_reduce(g, cls_pos, inv, width: int):
+    """Sum source rows per target: exact row count, short exact sums
+    (no long prefix cancellation), one reassembly gather."""
+    parts = []
+    for pos in cls_pos:
+        acc = jnp.take(g, pos[0], axis=0)
+        for j in range(1, pos.shape[0]):
+            acc = acc + jnp.take(g, pos[j], axis=0)
+        parts.append(acc)
+    parts.append(jnp.zeros((1, width), g.dtype))
+    return jnp.take(jnp.concatenate(parts, axis=0), inv, axis=0)
 
 
 @jax.custom_vjp
-def _expand_rows(coeffs_ext, fidx, bwd_pos):
+def _expand_rows(coeffs_ext, fidx, cls_pos, inv):
     """(T+1, 16) coefficient rows -> (B*TBL, 16) table slots."""
     return jnp.take(coeffs_ext, fidx, axis=0)
 
 
-def _expand_fwd(coeffs_ext, fidx, bwd_pos):
-    return jnp.take(coeffs_ext, fidx, axis=0), (fidx, bwd_pos)
+def _expand_fwd(coeffs_ext, fidx, cls_pos, inv):
+    return jnp.take(coeffs_ext, fidx, axis=0), (fidx, cls_pos, inv)
 
 
 def _expand_bwd(res, g):
-    fidx, bwd_pos = res
-    g_ext = jnp.concatenate([g, jnp.zeros((1, NATTR), g.dtype)], axis=0)
-    acc = jnp.zeros((bwd_pos.shape[1], NATTR), g.dtype)
-    for j in range(bwd_pos.shape[0]):
-        acc = acc + jnp.take(g_ext, bwd_pos[j], axis=0)
+    fidx, cls_pos, inv = res
+    acc = _classed_reduce(g, cls_pos, inv, NATTR)
     dcoeffs = jnp.concatenate(
         [acc, jnp.zeros((1, NATTR), g.dtype)], axis=0)
-    return dcoeffs, _float0(fidx), _float0(bwd_pos)
+    return (dcoeffs, _float0(fidx),
+            tuple(_float0(p) for p in cls_pos), _float0(inv))
 
 
 _expand_rows.defvjp(_expand_fwd, _expand_bwd)
 
 
 @jax.custom_vjp
-def _gather_tri(coords, faces, vert_pos):
-    """coords (V, 3) -> (T, 3, 3); VJP sums each vertex's <= max_val
-    static (face, corner) positions via row gathers."""
+def _gather_tri(coords, faces, cls_pos, inv):
+    """coords (V, 3) -> (T, 3, 3); VJP sums each vertex's static
+    (face, corner) source rows via the classed reduction."""
     return coords[faces]
 
 
-def _gather_tri_fwd(coords, faces, vert_pos):
-    # Zero-row token records coords' row count: vert_pos is sized by
-    # faces.max()+1, which undercounts meshes with unreferenced trailing
-    # vertices — the cotangent must still match coords' shape.
+def _gather_tri_fwd(coords, faces, cls_pos, inv):
+    # Zero-row token records coords' row count: the reduction is sized
+    # by faces.max()+1, which undercounts meshes with unreferenced
+    # trailing vertices — the cotangent must still match coords' shape.
     shape_token = jnp.zeros((coords.shape[0], 0), coords.dtype)
-    return coords[faces], (faces, vert_pos, shape_token)
+    return coords[faces], (faces, cls_pos, inv, shape_token)
 
 
 def _gather_tri_bwd(res, g):
-    faces, vert_pos, shape_token = res
-    gf = jnp.concatenate(
-        [g.reshape(-1, 3), jnp.zeros((1, 3), g.dtype)], axis=0)
-    acc = jnp.zeros((vert_pos.shape[1], 3), g.dtype)
-    for j in range(vert_pos.shape[0]):
-        acc = acc + jnp.take(gf, vert_pos[j], axis=0)
+    faces, cls_pos, inv, shape_token = res
+    acc = _classed_reduce(g.reshape(-1, 3), cls_pos, inv, 3)
     ncoords = shape_token.shape[0]
     if ncoords > acc.shape[0]:  # unreferenced vertices: zero gradient
         acc = jnp.concatenate(
             [acc, jnp.zeros((ncoords - acc.shape[0], 3), g.dtype)], axis=0)
-    return acc, _float0(faces), _float0(vert_pos)
+    return (acc, _float0(faces),
+            tuple(_float0(p) for p in cls_pos), _float0(inv))
 
 
 _gather_tri.defvjp(_gather_tri_fwd, _gather_tri_bwd)
@@ -665,44 +708,17 @@ class FusedSoftPlan:
         self.table_face_flat = table_face.reshape(-1).astype(np.int32)
         self.num_faces = int(np.asarray(soft_plan.faces_array).shape[0])
 
-        # Static transpose of the slot->face map for the gather-based
-        # VJP: bwd_pos[j, f] = position of face f's j-th table slot in
-        # the flat (B*TBL) layout, or B*TBL (a zero row) when the face
-        # has fewer slots. max_k = most tiles any one face's raster
-        # window overlaps.
-        flat = self.table_face_flat
-        p_total = flat.size
-        order = np.argsort(flat, kind="stable")  # -1 pads sort first
-        of = flat[order]
-        valid0 = int(np.searchsorted(of, 0))
-        vo = order[valid0:]
-        vf = of[valid0:]
-        t_faces = self.num_faces
-        starts = np.searchsorted(vf, np.arange(t_faces + 1))
-        counts = np.diff(starts)
-        max_k = int(counts.max()) if counts.size else 0
-        pos = np.full((max(max_k, 1), t_faces), p_total, np.int32)
-        if vo.size:
-            rank = np.arange(vo.size) - starts[vf]
-            pos[rank, vf] = vo
-        self.bwd_pos = pos
+        # Classed slot->face reduction layout for the expand VJP (round
+        # 3: gathers exactly the real slot rows; the flat (max_k, T)
+        # table gathered 2.4x that and dominated fwd+bwd — BENCH_NOTES).
+        self.expand_cls_d, self.expand_inv_d = _build_classed_reduction(
+            self.table_face_flat, self.num_faces)
 
-        # Vertex incidence for the coords-gather VJP: vert_pos[j, v] =
-        # flat (face*3 + corner) index of vertex v's j-th use, or 3*T
-        # (zero row) beyond its valence.
+        # Classed (face, corner)->vertex reduction for the coords VJP.
         faces_np = np.asarray(soft_plan.faces_array).reshape(-1)
         self.num_vertices = int(faces_np.max(initial=-1)) + 1
-        vorder = np.argsort(faces_np, kind="stable")
-        vsorted = faces_np[vorder]
-        vstarts = np.searchsorted(vsorted, np.arange(self.num_vertices + 1))
-        vcounts = np.diff(vstarts)
-        max_val = int(vcounts.max()) if vcounts.size else 0
-        vpos = np.full((max(max_val, 1), self.num_vertices), faces_np.size,
-                       np.int32)
-        if vorder.size:
-            vrank = np.arange(vorder.size) - vstarts[vsorted]
-            vpos[vrank, vsorted] = vorder
-        self.vert_pos = vpos
+        self.vert_cls_d, self.vert_inv_d = _build_classed_reduction(
+            faces_np, self.num_vertices)
 
         # Pytree leaves (device arrays): passed through jit boundaries
         # as ARGUMENTS — closure-captured arrays embed as HLO literals
@@ -715,14 +731,12 @@ class FusedSoftPlan:
         self.tblidx_d = jnp.asarray(self.tblidx_b, jnp.int32)
         self.tile_mask_d = jnp.asarray(self.tile_mask)
         self.fidx_d = jnp.asarray(fidx)
-        self.bwd_pos_d = jnp.asarray(self.bwd_pos)
-        self.vert_pos_d = jnp.asarray(self.vert_pos)
         self.faces_d = jnp.asarray(np.asarray(soft_plan.faces_array))
 
     # -- pytree protocol: arrays are leaves, layout config is aux ------
     _LEAVES = ("batch_tile_d", "flags_d", "cells_d", "tblidx_d",
-               "tile_mask_d", "fidx_d", "bwd_pos_d", "vert_pos_d",
-               "faces_d")
+               "tile_mask_d", "fidx_d", "expand_cls_d", "expand_inv_d",
+               "vert_cls_d", "vert_inv_d", "faces_d")
     _AUX = ("spec", "tc", "tb_sub", "tbl", "num_batches", "num_pairs",
             "num_fragments", "num_faces", "num_vertices")
 
@@ -771,11 +785,13 @@ def soft_voxelize_fused(coords, plan: FusedSoftPlan, *,
     tau_e = tau_edge_frac * vs * vs
     tau_x = tau_x_frac * vs
 
-    tri = _gather_tri(coords, plan.faces_d, plan.vert_pos_d)  # (T, 3, 3)
+    tri = _gather_tri(coords, plan.faces_d, plan.vert_cls_d,
+                      plan.vert_inv_d)  # (T, 3, 3)
     coeffs = triangle_coeffs(tri)                   # (T, 16)
     coeffs = jnp.concatenate(
         [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
-    tables = _expand_rows(coeffs, plan.fidx_d, plan.bwd_pos_d)
+    tables = _expand_rows(coeffs, plan.fidx_d, plan.expand_cls_d,
+                          plan.expand_inv_d)
     # Row-major (B, TBL, 16) — the kernels transpose in VMEM.
     tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
 
