@@ -169,3 +169,47 @@ def test_device_total_pipeline_torus_128(torus_mesh):
     pipe = DeviceVoxPipeline(torus_mesh, spec, slack=1.5)
     got = np.asarray(pipe().words)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_device_batches_overflow_guard():
+    """Capacity overflow must be reported, never silently truncated."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.vox_pallas_we import _device_batches
+
+    # 2 supertiles, 600 and 100 events; tb=512 -> 2+1 = 3 true batches.
+    bounds = jnp.asarray([0, 600, 700], jnp.int32)
+    bt, flags, starts, ends, overflow = _device_batches(
+        bounds, num_super=2, tb=512, b_max=2)
+    assert int(overflow) == 1
+    bt, flags, starts, ends, overflow = _device_batches(
+        bounds, num_super=2, tb=512, b_max=3)
+    assert int(overflow) == 0
+    bt = np.asarray(bt)
+    assert list(bt) == [0, 0, 1]
+    f = np.asarray(flags)
+    from voxtpu.ops.vox_pallas import FLAG_FIRST, FLAG_LAST
+    assert f[0] == FLAG_FIRST and f[1] == FLAG_LAST
+    assert f[2] == FLAG_FIRST | FLAG_LAST
+    assert list(np.asarray(starts)) == [0, 512, 600]
+    assert list(np.asarray(ends)) == [512, 600, 700]
+
+
+def test_device_pipeline_overflow_raises(sphere_mesh, monkeypatch):
+    from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    pipe = DeviceVoxPipeline(sphere_mesh, spec)
+    pipe.b_max = max(1, pipe.b_max // 2)  # force undercapacity
+    with pytest.raises(RuntimeError, match="capacity"):
+        pipe()
+
+
+def test_pad_granular_bounds():
+    from voxtpu.ops.vox import _next_pow2, _pad_granular
+
+    for c in (1, 7, 255, 256, 257, 1000, 5000, 1 << 20, (1 << 20) + 1):
+        p = _pad_granular(c)
+        assert p >= c
+        # waste < one granule = next_pow2(c)/8 (<= 25% of c, typ. 12.5%)
+        assert p - c < max(256, _next_pow2(c) // 8)
