@@ -336,12 +336,12 @@ def voxelize_pallas(mesh: Mesh, spec: GridSpec,
                     plan: "PallasVoxPlan | FragmentPlan | None" = None) -> VoxelGrid:
     """Solid voxelization on TPU via the tiled Pallas kernels.
 
-    Two kernels share this entry point; the word-event kernel
-    (`voxtpu.ops.vox_pallas_we`) is the default — bit-identical to this
-    module's suffix-fill kernel and faster at every measured size (1.1x
-    at 256^3 growing to 2.4x at 2048^3, BENCH_NOTES.md). Pass an
-    explicit `PallasVoxPlan` to force the suffix kernel (e.g. for
-    comparison sweeps).
+    Two kernels share this entry point; the lane-packed word-event
+    kernel (`voxtpu.ops.vox_pallas_we`) is the default — bit-identical
+    to this module's suffix-fill kernel and faster at every measured
+    size (3.5x at 512^3 after round-3 lane packing: 0.36 vs 1.27 ms,
+    BENCH_NOTES.md). Pass an explicit `PallasVoxPlan` to force the
+    suffix kernel (e.g. for comparison sweeps).
     """
     from voxtpu.ops.vox_pallas_we import WordEventVoxPlan, voxelize_pallas_we
 
