@@ -68,9 +68,9 @@ def _soft_fragments(v0, v1, v2, start_y, start_z, *, window: int, n: int,
         cy = origin[1] + (ys.astype(jnp.float32) * vs + vs / 2)
         cz = origin[2] + (zs.astype(jnp.float32) * vs + vs / 2)
 
-        e0 = _edge_zy(a, b, cy, cz) * sign
-        e1 = _edge_zy(b, c, cy, cz) * sign
-        e2 = _edge_zy(c, a, cy, cz) * sign
+        e0 = _edge_zy(a[1], a[2], b[1], b[2], cy, cz) * sign
+        e1 = _edge_zy(b[1], b[2], c[1], c[2], cy, cz) * sign
+        e2 = _edge_zy(c[1], c[2], a[1], a[2], cy, cz) * sign
         cov = (
             jax.nn.sigmoid(e0 / tau_e)
             * jax.nn.sigmoid(e1 / tau_e)

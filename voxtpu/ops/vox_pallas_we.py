@@ -181,79 +181,161 @@ def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
     return out[:num_super, :, :g * num_words]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tc"))
-def _build_events(cells, xs, *, n: int, tc: int):
-    """Device-side fragment -> word-event reduction — ONE jit call.
+_SENT = jnp.uint32(0xFFFFFFFF)
+_BLOCK = 512   # candidates per compaction block (one axis-sort row)
+_ROW = 16      # compaction granularity: 64-byte row gathers, not elements
 
-    (Every eager op here would pay a full tunnel round-trip on the
-    remote TPU; the whole prep fuses into a single dispatch and only
-    the per-supertile bounds array crosses to the host.)
 
-    Sorts fragments by (cell, word), XORs in-word masks and counts
-    fragments per (cell, word) segment, and compacts one event per
-    segment to the front (positions of segment starts/ends are
-    themselves compacted by sorts — no big gathers beyond the final
-    event pickup).
+def _block_compact(arrs, *, cap: int, block: int = _BLOCK, row: int = _ROW):
+    """Dense-prefix compaction of the valid entries of u32 arrays.
 
-    Returns (local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events_dev):
-    event arrays of length F with valid events first (padding carries
-    row -1 / lane -1 / zero mask). `local_e` is the sub-tile ROW
-    (cell % tc), `w_e` the lane-PACKED word index g*nw + w of the
-    event's sub-tile g within its supertile, `hi_e` the sub-tile's
-    exclusive lane bound (g+1)*nw, `bounds` the per-SUPERTILE event
-    ranges (num_super + 1).
+    `arrs` is a tuple of equal-length u32 arrays; `arrs[0]` is the key
+    with invalid entries == 0xFFFFFFFF (payload entries of invalids must
+    be 0). Valid entries are moved to (approximately) the front of a
+    `cap`-length result in block-stable order; up to `row - 1` sentinel
+    pad slots may remain interleaved after each source block's run, so
+    the result is for feeding a SORT, not for direct indexing.
+
+    Why this exists: at 512^3 on the 1.35M-face bunny only ~4% of the
+    6.5M emitted candidate slots survive the edge tests, so the global
+    (cell, word) sort was paying a 24x-too-long sort. Compacting first
+    costs one axis-(block)-local sort (vectorized bitonic over the lane
+    dim, cheap) plus one ROW-granular gather (64-byte rows ride the
+    ~5 GB/s row-gather path; element gathers run ~0.6 GB/s and would
+    eat the win — the round-3 gather lesson, CLAUDE.md).
+
+    Returns (compacted_arrays, overflow_rows): overflow_rows > 0 means
+    `cap` was too small and that many 16-slot rows were dropped.
     """
-    # Round-3 rewrite: NO element gathers anywhere. TPU element gathers
-    # at F ~ 10M run ~0.6 GB/s (70+ ms each; the previous formulation
-    # paid 4), while lax.sort moves the same data in tens of ms — so
-    # the segment compaction CARRIES its values through one extra sort,
-    # and segment ends/prefixes come from the compacted arrays' own
-    # neighbors (end[i] = start[i+1] - 1).
-    f = cells.shape[0]
+    assert cap % row == 0 and block % row == 0
+    f = arrs[0].shape[0]
+    fp = -(-f // block) * block
+    if fp != f:
+        key_pad = jnp.full((fp - f,), _SENT)
+        arrs = tuple(
+            jnp.concatenate([a, key_pad if i == 0
+                             else jnp.zeros((fp - f,), a.dtype)])
+            for i, a in enumerate(arrs))
+    nb = fp // block
+    mats = tuple(a.reshape(nb, block) for a in arrs)
+    if len(mats) == 1:
+        mats = (jax.lax.sort(mats[0], dimension=1),)
+    else:
+        mats = jax.lax.sort(mats, dimension=1, num_keys=1)
+    counts = jnp.sum(mats[0] != _SENT, axis=1, dtype=jnp.int32)
+    rows_b = -((-counts) // row)
+    rcum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rows_b, dtype=jnp.int32)])
+    cap_rows = cap // row
+    total_rows = rcum[-1]
+    overflow = jnp.maximum(total_rows - cap_rows, 0)
+    # Output row j belongs to source block b_j = #{b : rcum[b+1] <= j}
+    # (the scatter-add + cumsum rank trick; empty blocks stack marks).
+    marks = jnp.zeros((cap_rows + 1,), jnp.int32)
+    marks = marks.at[jnp.clip(rcum[1:], 0, cap_rows)].add(1)
+    rj = jnp.arange(cap_rows, dtype=jnp.int32)
+    bj = jnp.clip(jnp.cumsum(marks)[:cap_rows], 0, nb - 1)
+    lj = rj - rcum[bj]
+    live = rj < total_rows
+    src = jnp.where(live, bj * (block // row) + lj, 0)
+    outs = []
+    for i, m in enumerate(mats):
+        rows_view = m.reshape(nb * (block // row), row)
+        got = jnp.take(rows_view, src, axis=0)
+        fill = _SENT if i == 0 else jnp.zeros((), m.dtype)
+        outs.append(jnp.where(live[:, None], got, fill).reshape(-1))
+    return tuple(outs), overflow
+
+
+def _sorted_keys_from_fragments(cells, xs, *, n: int, cap_f: int | None):
+    """(cell, x_entry) fragments -> ascending (ckey_s, mask_s) u32 pair.
+
+    ckey = cell * num_words + word (invalid >= n^2*num_words), mask the
+    in-word suffix mask (0 for invalid). When `cap_f` is given the
+    fragments are block-compacted to that capacity before the global
+    sort (the per-call fast path); None sorts the full array (plan
+    build). At N <= 1024 the whole fragment packs into ONE u32
+    (cell*n + x < 2^30), so both the compaction and the global sort
+    move a single array; larger N carries the mask as a sort payload.
+
+    Returns (ckey_s, mask_s, overflow_rows).
+    """
     num_words = n // WORD_BITS
-    wf = jnp.minimum(xs // WORD_BITS, num_words - 1)
     valid = cells < n * n
-    # Composite uint32 key cell*nw + w; invalid fragments -> 0xFFFFFFFF
-    # (> every valid key: cell*nw + w <= n^2*nw - 1 <= 2^31 - 1 at 4096).
-    ckey = (cells.astype(jnp.uint32) * jnp.uint32(num_words)
-            + wf.astype(jnp.uint32))
-    ckey = jnp.where(valid, ckey, jnp.uint32(0xFFFFFFFF))
-    mask = jnp.uint32(0xFFFFFFFF) << (xs % WORD_BITS).astype(jnp.uint32)
-    mask = jnp.where(valid, mask, jnp.uint32(0))
-    ckey_s, mask_s = jax.lax.sort((ckey, mask), num_keys=1)
+    ovf = jnp.int32(0)
+    if n <= 1024:
+        key = jnp.where(valid, (cells * n + xs).astype(jnp.uint32), _SENT)
+        if cap_f is not None:
+            (key,), ovf = _block_compact((key,), cap=cap_f)
+        key_s = jax.lax.sort(key)
+        ckey_s = key_s >> 5  # cell*n + x >> 5 == cell*num_words + word
+        mask_s = jnp.where(
+            key_s != _SENT,
+            jnp.uint32(0xFFFFFFFF) << (key_s & jnp.uint32(31)),
+            jnp.uint32(0))
+    else:
+        wf = jnp.minimum(xs // WORD_BITS, num_words - 1)
+        ckey = (cells.astype(jnp.uint32) * jnp.uint32(num_words)
+                + wf.astype(jnp.uint32))
+        ckey = jnp.where(valid, ckey, _SENT)
+        mask = jnp.uint32(0xFFFFFFFF) << (xs % WORD_BITS).astype(jnp.uint32)
+        mask = jnp.where(valid, mask, jnp.uint32(0))
+        if cap_f is not None:
+            (ckey, mask), ovf = _block_compact((ckey, mask), cap=cap_f)
+        ckey_s, mask_s = jax.lax.sort((ckey, mask), num_keys=1)
+    return ckey_s, mask_s, ovf
 
-    iota = jnp.arange(f, dtype=jnp.int32)
-    start = ckey_s != jnp.roll(ckey_s, 1)
-    start = start.at[0].set(True)
 
+def _events_core(ckey_s, mask_s, *, n: int, tc: int, cap_e: int):
+    """Sorted (ckey, mask) fragments -> word events + supertile bounds.
+
+    One event per distinct (cell, word) segment: segment starts are
+    found by neighbor comparison, compacted by a single-array index
+    sort, and the per-segment XOR mask / count parity come from three
+    cap_e-sized gathers into the XOR prefix scan (exclusive prefix at
+    the start vs inclusive at the last member) — small gathers from a
+    cache-resident source, not F-sized ones.
+
+    Returns (local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events,
+    overflow_events); event arrays have length cap_e with pads carrying
+    row -1 / lane -1 / zero mask, `bounds` the per-SUPERTILE event
+    ranges (num_super + 1). `overflow_events` > 0 means cap_e truncated
+    real events.
+    """
     from voxtpu.ops.vox import _cumxor
 
-    scan = _cumxor(mask_s)           # inclusive XOR prefix
-    p_own = scan ^ mask_s            # exclusive prefix at own position
+    f = ckey_s.shape[0]
+    num_words = n // WORD_BITS
+    cklim = jnp.uint32(n * n * num_words)
+    valid_s = ckey_s < cklim
+    nvalid = jnp.sum(valid_s, dtype=jnp.int32)
+    scan = _cumxor(mask_s)  # inclusive XOR prefix over sorted masks
 
-    # Compaction sort: segment starts to the front, carrying (key,
-    # exclusive prefix). Ascending start positions preserve key order.
-    big = jnp.int32(f)
-    spos, ckey_e, pexcl_e = jax.lax.sort(
-        (jnp.where(start, iota, big), ckey_s, p_own), num_keys=1)
-    pad = spos >= big
+    prev = jnp.concatenate([jnp.full((1,), _SENT), ckey_s[:-1]])
+    start = (ckey_s != prev) & valid_s
+    num_events = jnp.sum(start, dtype=jnp.int32)
+    iota = jnp.arange(f, dtype=jnp.int32)
+    spos_s = jnp.sort(jnp.where(start, iota, jnp.int32(f)))
+    spos_p = jnp.concatenate([spos_s, jnp.full((1,), f, jnp.int32)])
+    ce = min(cap_e, f)
+    spos_e = spos_p[:ce]
+    pad_e = spos_e >= f
+    # Segment i ends where segment i+1 begins; the last real segment
+    # ends at nvalid (valids are the sorted prefix).
+    nxt = spos_p[1:ce + 1]
+    nxt = jnp.where(nxt >= f, nvalid, nxt)
 
-    # Segment i ends where segment i+1 begins; the slot after the last
-    # real segment is a pad, whose "exclusive prefix" is the total XOR.
-    total = scan[-1]
-    pad_next = jnp.concatenate([pad[1:], jnp.ones((1,), bool)])
-    nxt_p = jnp.where(pad_next, total,
-                      jnp.concatenate([pexcl_e[1:], pexcl_e[:1]]))
-    nxt_s = jnp.where(pad_next, f,
-                      jnp.concatenate([spos[1:], spos[:1]]))
-    invalid = pad | (ckey_e == jnp.uint32(0xFFFFFFFF))
-    mask_e = jnp.where(invalid, jnp.uint32(0), nxt_p ^ pexcl_e)
-    cnt_e = jnp.where(invalid, 0, (nxt_s - spos) & 1)
-    cell_e = jnp.where(invalid, jnp.int32(n * n),
-                       (ckey_e // num_words).astype(jnp.int32))
-    w_raw = (ckey_e % num_words).astype(jnp.int32)
-    num_events = jnp.sum(start & (ckey_s != jnp.uint32(0xFFFFFFFF)),
-                         dtype=jnp.int32)
+    spc = jnp.clip(spos_e, 0, f - 1)
+    k0 = ckey_s[spc]
+    pexcl = jnp.where(spos_e > 0,
+                      scan[jnp.clip(spos_e - 1, 0, f - 1)], jnp.uint32(0))
+    pincl = scan[jnp.clip(nxt - 1, 0, f - 1)]
+    mask_e = jnp.where(pad_e, jnp.uint32(0), pincl ^ pexcl)
+    cnt_e = jnp.where(pad_e, 0, (nxt - spos_e) & 1)
+    cell_e = jnp.where(pad_e, jnp.int32(n * n),
+                       (k0 // num_words).astype(jnp.int32))
+    w_raw = (k0 % num_words).astype(jnp.int32)
+    overflow = jnp.maximum(num_events - ce, 0)
 
     num_tiles = (n * n) // tc
     g = _group_factor(num_words, num_tiles)
@@ -261,12 +343,27 @@ def _build_events(cells, xs, *, n: int, tc: int):
     super_key = jnp.minimum(cell_e // (tc * g), num_super)
     probes = jnp.arange(num_super + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(super_key, probes).astype(jnp.int32)
-    ok = ~invalid
+    ok = ~pad_e
     local_e = jnp.where(ok, cell_e % tc, -1)
     sub_e = (cell_e // tc) % g  # sub-tile within the supertile
     w_e = jnp.where(ok, sub_e * num_words + w_raw, -1)
     hi_e = jnp.where(ok, (sub_e + 1) * num_words, 0)
-    return local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events
+    return local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tc"))
+def _build_events(cells, xs, *, n: int, tc: int):
+    """Device-side fragment -> word-event reduction — ONE jit call, full
+    size (no capacity; used by the plan-build path where F-sized arrays
+    are fine and only the tiny bounds array crosses the tunnel).
+
+    Returns (local_e, w_e, hi_e, mask_e, cnt_e, bounds, num_events_dev);
+    see `_events_core` for the array contracts.
+    """
+    ckey_s, mask_s, _ = _sorted_keys_from_fragments(cells, xs, n=n,
+                                                    cap_f=None)
+    out = _events_core(ckey_s, mask_s, n=n, tc=tc, cap_e=cells.shape[0])
+    return out[:7]
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -399,27 +496,33 @@ def _device_batches(bounds, *, num_super: int, tb: int, b_max: int):
     return batch_tile, flags, starts, ends, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tc", "tb_sub", "b_max"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "tc", "tb_sub", "b_max", "cap_f"))
 def _device_words_from_fragments(cells, xs, *, n: int, tc: int, tb_sub: int,
-                                 b_max: int):
-    """Fragments -> packed words, entirely on device (single trace)."""
+                                 b_max: int, cap_f: int):
+    """Fragments -> packed words, entirely on device (single trace).
+
+    `cap_f` is the static post-compaction fragment capacity (multiple of
+    16; sized at pipeline init from the real valid count): the global
+    (cell, word) sort and everything after it run at cap_f, not at the
+    raw candidate count — the ~24x valid-fraction win (see
+    `_block_compact`). The returned overflow scalar is nonzero if ANY
+    static capacity (fragments, events, batches) truncated real work.
+    """
     num_words = n // WORD_BITS
     num_tiles = (n * n) // tc
     g = _group_factor(num_words, num_tiles)
     num_super = num_tiles // g
     tb = tb_sub * TB_LANE
-    local_e, w_e, hi_e, mask_e, cnt_e, bounds, _ = _build_events(
-        cells, xs, n=n, tc=tc)
-    batch_tile, flags, starts, ends, overflow = _device_batches(
+    ckey_s, mask_s, ovf_f = _sorted_keys_from_fragments(
+        cells, xs, n=n, cap_f=cap_f)
+    cap_e = min(b_max * tb, cap_f)
+    (local_e, w_e, hi_e, mask_e, cnt_e, bounds, _num_events,
+     ovf_e) = _events_core(ckey_s, mask_s, n=n, tc=tc, cap_e=cap_e)
+    batch_tile, flags, starts, ends, ovf_b = _device_batches(
         bounds, num_super=num_super, tb=tb, b_max=b_max)
-    # Events live in the first <= b_max*tb slots (each real event has a
-    # batch slot; invalid ones sort past bounds[-1] and are never
-    # addressed). Gathering from the sliced prefix instead of the full
-    # F-length arrays keeps the gather's source cache-resident.
-    cap = min(local_e.shape[0], b_max * tb)
     cb, wb, hb, mb, ctb = _gather_event_batches(
-        local_e[:cap], w_e[:cap], hi_e[:cap], mask_e[:cap], cnt_e[:cap],
-        starts, ends, tb=tb)
+        local_e, w_e, hi_e, mask_e, cnt_e, starts, ends, tb=tb)
     shape3 = (b_max, tb_sub, TB_LANE)
     words = _run_we(
         cb.reshape(shape3), wb.reshape(shape3), hb.reshape(shape3),
@@ -430,13 +533,15 @@ def _device_words_from_fragments(cells, xs, *, n: int, tc: int, tb_sub: int,
     words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
     if g > 1:
         words = words.reshape(-1, tc, g, num_words).transpose(0, 2, 1, 3)
+    overflow = ovf_f + ovf_e + ovf_b
     return words.reshape(n, n, num_words), overflow
 
 
 @functools.partial(
-    jax.jit, static_argnames=("windows", "n", "tc", "tb_sub", "b_max"))
+    jax.jit,
+    static_argnames=("windows", "n", "tc", "tb_sub", "b_max", "cap_f"))
 def _total_jit(bucket_arrays, origin, voxel_size, *, windows, n: int,
-               tc: int, tb_sub: int, b_max: int):
+               tc: int, tb_sub: int, b_max: int, cap_f: int):
     all_cells, all_xs = [], []
     for window, (v0, v1, v2, sy, sz) in zip(windows, bucket_arrays):
         c, x = _emit(v0, v1, v2, sy, sz, window=window, n=n,
@@ -449,7 +554,21 @@ def _total_jit(bucket_arrays, origin, voxel_size, *, windows, n: int,
     cells = jnp.concatenate(all_cells)
     xs = jnp.concatenate(all_xs)
     return _device_words_from_fragments(cells, xs, n=n, tc=tc,
-                                        tb_sub=tb_sub, b_max=b_max)
+                                        tb_sub=tb_sub, b_max=b_max,
+                                        cap_f=cap_f)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _compact_stats(cells, *, n: int):
+    """(valid fragment count, compaction row count) for capacity sizing."""
+    f = cells.shape[0]
+    fp = -(-f // _BLOCK) * _BLOCK
+    valid = cells < n * n
+    if fp != f:
+        valid = jnp.concatenate([valid, jnp.zeros((fp - f,), bool)])
+    counts = jnp.sum(valid.reshape(-1, _BLOCK), axis=1, dtype=jnp.int32)
+    rows = jnp.sum(-((-counts) // _ROW), dtype=jnp.int32)
+    return jnp.sum(counts, dtype=jnp.int32), rows
 
 
 def _emit(*args, **kw):
@@ -497,6 +616,15 @@ class DeviceVoxPipeline:
         self.b_max = max(int(np.ceil(probe.num_batches * slack)), 1)
         self.num_events = probe.num_events
         self.num_fragments = probe.num_fragments
+        # Post-compaction fragment capacity (1/8-octave granular so
+        # refresh loops reuse compiled shapes; floor keeps tiny meshes'
+        # shapes valid).
+        cells, _ = fragments_from_plan(frag_plan)
+        nvalid, rows = _compact_stats(cells, n=n)
+        self.num_valid = int(nvalid)
+        from voxtpu.ops.vox import _pad_granular
+        self.cap_f = max(
+            _pad_granular(int(np.ceil(int(rows) * slack)) * _ROW), 256)
         self.num_batches = probe.num_batches
 
     def words(self, coords=None):
@@ -517,7 +645,8 @@ class DeviceVoxPipeline:
         vs = jnp.float32(self.spec.voxel_size)
         return _total_jit(self.bucket_arrays, origin, vs,
                           windows=self.windows, n=self.spec.n, tc=self.tc,
-                          tb_sub=self.tb_sub, b_max=self.b_max)
+                          tb_sub=self.tb_sub, b_max=self.b_max,
+                          cap_f=self.cap_f)
 
     def __call__(self) -> VoxelGrid:
         words, overflow = self.words()
