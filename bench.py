@@ -381,6 +381,13 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
             plan = FusedSoftPlan(soft_plan)
             aux = (plan,)
             fwd = lambda c, p: soft_voxelize_fused(c, p)
+        elif backend == "seg":
+            from voxtpu.ops.soft_vox_seg import (SegSoftPlan,
+                                                 soft_voxelize_seg)
+
+            plan = SegSoftPlan(soft_plan, mesh.coords)
+            aux = (plan,)
+            fwd = lambda c, p: soft_voxelize_seg(c, p)
         elif backend == "pallas":
             from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
                                                     soft_voxelize_pallas)

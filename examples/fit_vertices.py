@@ -27,8 +27,9 @@ def main() -> int:
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--engine", default="xla",
-                    choices=["xla", "pallas", "fused"],
-                    help="soft-voxelization engine (fused = fastest on TPU)")
+                    choices=["xla", "pallas", "fused", "seg"],
+                    help="soft-voxelization engine (seg = fastest on "
+                         "TPU at n >= 256; fused below that)")
     ap.add_argument("--out", default=None, help="export fitted mesh .obj")
     args = ap.parse_args()
 

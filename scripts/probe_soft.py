@@ -87,6 +87,33 @@ def main():
     t("full fwd        ", full_fwd)
     t("full fwd+bwd    ", full_fwd_bwd)
 
+    if os.environ.get("PROBE_SEG", "1") == "1":
+        from voxtpu.ops.soft_vox_seg import SegSoftPlan, soft_voxelize_seg
+
+        t0 = time.time()
+        gp = SegSoftPlan(sp, mesh.coords)
+        print(f"# seg pairs={gp.num_pairs} slots={gp.num_fragments} "
+              f"batches={gp.num_batches} build={time.time()-t0:.1f}s",
+              flush=True)
+
+        @jax.jit
+        def seg_fwd(c, p):
+            return jnp.sum(soft_voxelize_seg(c, p))
+
+        @jax.jit
+        def seg_fwd_bwd(c, p):
+            return jax.value_and_grad(
+                lambda cc: jnp.sum(soft_voxelize_seg(cc, p)))(c)
+
+        def ts(label, fn):
+            out = fn(cj, gp)
+            jax.block_until_ready(out)
+            dt = time_device_fn(fn, cj, gp, iters=iters)
+            print(f"{label}: {dt*1e3:.2f} ms", flush=True)
+
+        ts("seg fwd         ", seg_fwd)
+        ts("seg fwd+bwd     ", seg_fwd_bwd)
+
 
 if __name__ == "__main__":
     main()

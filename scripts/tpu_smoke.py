@@ -167,6 +167,58 @@ def main() -> int:
         check(f"soft_vox_fused_fwd_bwd@32[{m}]",
               lambda m=m: _soft_engine_check("fused", mode=m))
 
+    def _seg_engine_check():
+        # The segmented engine needs n >= 256: same generic tet, 256^3
+        # grid, probe generated ON DEVICE (a 67 MB host probe would
+        # crawl through the tunnel at ~100 KB/s).
+        from voxtpu.mesh.mesh import Mesh as _Mesh
+        from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+        from voxtpu.ops.soft_vox_seg import SegSoftPlan, soft_voxelize_seg
+
+        coords0 = np.array(
+            [[0.1, 0.1, 0.1], [0.9, 0.15, 0.2], [0.2, 0.85, 0.15],
+             [0.3, 0.3, 0.9]], np.float32)
+        faces = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [0, 3, 2]],
+                         np.int32)
+        tmesh = _Mesh(name="tet", coords=coords0, faces=faces,
+                      faces_normals=faces)
+        tspec = GridSpec(n=256, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 256)
+        soft_plan = make_soft_plan(tmesh, tspec, pad_window=4)
+        eplan = SegSoftPlan(soft_plan, coords0)
+
+        @jax.jit
+        def loss(c, p):
+            probe = jax.random.uniform(
+                jax.random.PRNGKey(0), (256, 256, 256), jnp.float32)
+            occ = soft_voxelize_seg(c, p, tau_edge_frac=1.0,
+                                    tau_x_frac=1.0, clip=False)
+            return jnp.sum(occ * probe)
+
+        @jax.jit
+        def loss_xla(c):
+            probe = jax.random.uniform(
+                jax.random.PRNGKey(0), (256, 256, 256), jnp.float32)
+            occ = soft_voxelize(c, soft_plan, tau_edge_frac=1.0,
+                                tau_x_frac=1.0, clip=False)
+            return jnp.sum(occ * probe)
+
+        lx = float(loss_xla(jnp.asarray(coords0)))
+        le = float(loss(jnp.asarray(coords0), eplan))
+        np.testing.assert_allclose(le, lx, rtol=5e-3)
+
+        grad = jax.jit(jax.grad(lambda c, p: loss(c, p)))
+        g = np.asarray(grad(jnp.asarray(coords0), eplan))
+        eps = 1e-3
+        for v, a in [(0, 0), (1, 1), (3, 2)]:
+            e = np.zeros_like(coords0)
+            e[v, a] = eps
+            fd = (float(loss(jnp.asarray(coords0 + e), eplan))
+                  - float(loss(jnp.asarray(coords0 - e), eplan))) / (2 * eps)
+            assert abs(fd - g[v, a]) <= 5e-2 * max(1.0, abs(fd)), (
+                f"seg v{v} a{a}: fd={fd:.5f} grad={g[v, a]:.5f}")
+
+    check("soft_vox_seg_fwd_bwd@256", _seg_engine_check)
+
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", file=sys.stderr)
         return 1

@@ -1,0 +1,117 @@
+"""Segmented soft voxelizer vs the fused engine, the XLA engine, and
+its own plan-layout invariants.
+
+The seg engine requires n >= 256, so these tests run a subdivided torus
+at 256^3 — in interpret mode that is a few thousand Pallas grid steps,
+the heaviest CPU tests in the suite.  Tolerances: seg shares the fused
+engine's exact8 dot algorithms, so seg-vs-fused differences come only
+from panel/carry summation reordering (tight); both engines differ from
+the XLA engine's plain-f32 dots by the known bf16_3x stacking noise at
+heavily-covered cells (loose; measured identical for both engines,
+max ~7e-3 at 1.6M fragments)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.mesh.mesh import Mesh
+from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+from voxtpu.ops.soft_vox_fused import FusedSoftPlan, soft_voxelize_fused
+from voxtpu.ops.soft_vox_seg import (LATTICE, PANEL, SegSoftPlan,
+                                     soft_voxelize_seg)
+
+
+@pytest.fixture(scope="module")
+def seg_setup(request):
+    from bench import subdivide
+
+    mesh = request.getfixturevalue("torus_mesh")
+    coords, faces = subdivide(mesh.coords, mesh.faces, 2)
+    rng = np.random.default_rng(0)
+    coords = (coords + rng.normal(0, 1e-3, coords.shape)).astype(np.float32)
+    mesh = Mesh(name="torus_sub", coords=coords, faces=faces,
+                faces_normals=faces)
+    spec = GridSpec.fit(mesh.coords, 256)
+    sp = make_soft_plan(mesh, spec)
+    plan = SegSoftPlan(sp, mesh.coords)
+    return mesh, spec, sp, plan
+
+
+def test_seg_requires_large_n(torus_mesh):
+    spec = GridSpec.fit(torus_mesh.coords, 32)
+    sp = make_soft_plan(torus_mesh, spec)
+    with pytest.raises(ValueError, match="segmented engine needs"):
+        SegSoftPlan(sp, torus_mesh.coords)
+
+
+def test_plan_layout_invariants(seg_setup):
+    mesh, spec, sp, plan = seg_setup
+    n = spec.n
+    assert plan.num_fragments > 0
+    # Panels sit on the 64 lattice, fully inside the grid.
+    assert (plan.batch_panel % LATTICE == 0).all()
+    assert (plan.batch_panel >= 0).all()
+    assert (plan.batch_panel <= n - PANEL).all()
+    # Local cells within the square tile; table slots within budget.
+    valid = plan.cells_b >= 0
+    assert (plan.cells_b[valid] < plan.tc).all()
+    assert (plan.tblidx_b[valid] < plan.tbl).all()
+    # Each (tile, panel) run opens and closes exactly once, in order.
+    key = plan.batch_tile.astype(np.int64) * n + plan.batch_panel
+    assert (np.diff(key) >= 0).all()
+    starts = np.concatenate([[True], key[1:] != key[:-1]])
+    ends = np.concatenate([key[1:] != key[:-1], [True]])
+    np.testing.assert_array_equal((plan.flags & 1) != 0, starts)
+    np.testing.assert_array_equal((plan.flags & 2) != 0, ends)
+    # Visited masks cover exactly the real batches' blocks.
+    fam_b = (plan.batch_panel // LATTICE) % 2 == 1
+    mask_a = np.asarray(plan.mask_a_d)
+    mask_b = np.asarray(plan.mask_b_d)
+    assert mask_a.sum() == len(np.unique(key[~fam_b]))
+    assert mask_b.sum() == len(np.unique(key[fam_b]))
+    # Square tiles shrink the table row count vs strip tiles: every
+    # fragment's (tile, panel, face) triple collapses into one pair.
+    assert plan.num_pairs < plan.num_fragments
+
+
+def test_seg_matches_fused_and_xla(seg_setup):
+    mesh, spec, sp, plan = seg_setup
+    fp = FusedSoftPlan(sp)
+    cj = jnp.asarray(mesh.coords)
+    ref_x = np.asarray(soft_voxelize(cj, sp, clip=False))
+    got_f = np.asarray(soft_voxelize_fused(cj, fp, clip=False))
+    got_s = np.asarray(soft_voxelize_seg(cj, plan, clip=False))
+    # Same dot algorithms; only panel/carry summation order differs.
+    np.testing.assert_allclose(got_s, got_f, atol=2e-3)
+    # Shared loose bound vs the plain-f32 XLA engine.
+    np.testing.assert_allclose(got_s, ref_x, atol=2e-2)
+    np.testing.assert_allclose(got_f, ref_x, atol=2e-2)
+
+
+def test_seg_gradients_match_fused(seg_setup):
+    mesh, spec, sp, plan = seg_setup
+    fp = FusedSoftPlan(sp)
+    cj = jnp.asarray(mesh.coords)
+    rng = np.random.default_rng(1)
+    probe = jnp.asarray(
+        rng.standard_normal((spec.n, spec.n, spec.n)), jnp.float32)
+
+    gs = jax.grad(
+        lambda c: jnp.sum(soft_voxelize_seg(c, plan) * probe))(cj)
+    gf = jax.grad(
+        lambda c: jnp.sum(soft_voxelize_fused(c, fp) * probe))(cj)
+    gs, gf = np.asarray(gs), np.asarray(gf)
+    scale = np.abs(gf).max()
+    assert scale > 0
+    # Quantile agreement, not element-wise: at n = 256 the edge
+    # sigmoids divide by tau_e ~ vs^2, so bf16-reordering-level VALUE
+    # differences at sigmoid transition boundaries amplify into O(1)
+    # relative gradient differences at a handful of vertices — measured
+    # between EVERY engine pair (fused-vs-XLA disagrees by 10x at the
+    # same vertices; at several, seg matches XLA bit-for-bit while
+    # fused is the outlier).  Per-engine FD gradchecks are the
+    # element-wise guard (scripts/tpu_smoke.py soft_vox_seg@256).
+    frac = np.mean(np.abs(gs - gf) <= 5e-3 * scale)
+    assert frac >= 0.999, f"only {frac:.2%} of gradient elements agree"

@@ -105,7 +105,7 @@ class VoxelFit:
         self.optimizer = optax.adam(learning_rate)
         self._tau = (tau_edge_frac, tau_x_frac)
         self._loss_fn = loss_fn
-        self.engine = engine  # xla | pallas | fused
+        self.engine = engine  # xla | pallas | fused | seg
         self.refresh_every = refresh_every
         self.drift_limit_vox = drift_limit_frac * getattr(plan, "pad_window", 1)
         self.refresh_count = 0
@@ -126,6 +126,18 @@ class VoxelFit:
             aux = (FusedSoftPlan(self.plan),)
             fwd = lambda c, p: soft_voxelize_fused(c, p, tau_edge_frac=te,
                                                    tau_x_frac=tx)
+        elif self.engine == "seg":
+            from voxtpu.ops.soft_vox_seg import (SegSoftPlan,
+                                                 soft_voxelize_seg)
+
+            if self._plan_coords is None:
+                raise ValueError(
+                    "engine='seg' needs the plan's build coordinates; "
+                    "build the plan with make_soft_plan (records "
+                    "plan_coords)")
+            aux = (SegSoftPlan(self.plan, self._plan_coords),)
+            fwd = lambda c, p: soft_voxelize_seg(c, p, tau_edge_frac=te,
+                                                 tau_x_frac=tx)
         elif self.engine == "pallas":
             from voxtpu.ops.soft_vox_pallas import (SoftPallasPlan,
                                                     soft_voxelize_pallas)

@@ -1,0 +1,699 @@
+"""Segmented fused soft voxelizer — x-panels instead of full x-rows.
+
+The fused coefficient-table engine (`voxtpu.ops.soft_vox_fused`)
+evaluates, for every slot (triangle x candidate YZ cell), the X-profile
+sigmoid over ALL n x-columns and contracts a (TC, 128) @ (128, n) MXU
+panel per sub-batch.  But sigmoid((x_hit - cx) / tau_x) at the default
+tau_x = vs/2 saturates within ~16 voxels of x_hit: to float32 it is
+exactly 1.0 more than 32 columns left of the hit and exactly 0.0 more
+than 32 columns right.  This engine exploits that (the soft analog of
+the hard word-event kernel's suffix trick, `vox_pallas_we.py`):
+
+- Each slot is assigned (at plan-build time, from host-computed x_hit)
+  a 128-column PANEL placed on a 64-column lattice such that x_hit sits
+  >= 32 columns from both panel edges.  Sigmoids are evaluated on the
+  panel only; columns left of the panel receive the slot's full weight
+  (a CARRY), columns right receive 0 — both exact in f32 by the margin.
+- Batches are keyed by (tile, panel): every slot in a batch shares one
+  panel, so the accumulate contraction is (TC, 128) @ (128, 128)
+  regardless of n — the per-slot MXU and VPU cost stops scaling with
+  the grid's x-extent (n/128 x fewer exps and accumulate flops).
+- 64-lattice placement with 128-aligned Pallas output blocks uses TWO
+  block families: family A panels start at 128k (blocks of `out_a`),
+  family B at 128k + 64 (blocks of `out_b`, an array in 64-shifted
+  column space).  XLA assembles occ = A + shift64(B) + carry-prefix.
+- The carry is a per-(tile, panel) column vector summed in-kernel;
+  a reverse-exclusive cumsum over 64-column blocks broadcasts it to
+  every column left of each panel (one cheap XLA pass).
+- Tiles are SQUARE YZ patches (tz x ty, default 8 x 16) instead of the
+  fused engine's 1 x 128 strips: a w x w raster window then usually
+  touches 1-2 tiles instead of w, which cuts the number of (tile,
+  triangle) pairs — and with it the dominant coefficient-table traffic
+  (the tables are the engine's main HBM load, BENCH_NOTES round 3).
+
+Precision follows `soft_vox_fused` mode="exact8" throughout: bit-exact
+int8 byte-plane coefficient gathers, bf16_3x smooth dots (2 passes when
+one side is 0/1-exact).  Reference semantics per `vox/sequential.cpp:
+18-61` relaxed as in `voxtpu.ops.soft_vox`; agreement with the XLA
+engine is to float32 summation order (the carry lumps w * 1.0f terms
+the XLA engine adds per column — the addends are bit-identical).
+
+Requires n >= 256 (panels must be narrower than the grid); callers fall
+back to `soft_voxelize_fused` below that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtpu.ops.soft_vox_fused import (
+    FLAG_FIRST,
+    FLAG_LAST,
+    NATTR,
+    TB_LANE,
+    _build_classed_reduction,
+    _byte_planes,
+    _dot_hi,
+    _dot_hi_onehot,
+    _expand_rows,
+    _float0,
+    _gather_exact,
+    _gather_tri,
+    triangle_coeffs,
+)
+
+PANEL = 128          # sigmoid panel width (columns)
+LATTICE = 64         # panel placement granularity
+MARGIN = 32          # min distance of x_hit to a panel edge (voxels)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _decode_yz(tile, cells_s, *, n: int, tz: int, ty: int):
+    """Square-tile decode: (tile id, local cell) -> global (y, z)."""
+    tyn = n // ty
+    gy = (tile % tyn) * ty + (cells_s % ty)
+    gz = (tile // tyn) * tz + (cells_s // ty)
+    return gy, gz
+
+
+def _seg_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
+    from jax.experimental import pallas as pl
+
+    ty = tc // tz
+
+    def kernel(bt_ref, p0_ref, fl_ref, cell_ref, idx_ref, tab_ref, prm_ref,
+               outa_ref, outb_ref, carry_ref, accp, accc):
+        b = pl.program_id(0)
+        tile = bt_ref[b]
+        p0 = p0_ref[b]
+        flags = fl_ref[b]
+        fam_b = (p0 // LATTICE) % 2
+        ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
+        vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        cell_iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, tc), 1)
+        tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, PANEL), 1)
+        cxp = ox + ((p0 + xi).astype(jnp.float32) * vs + vs * 0.5)
+
+        table_t = tab_ref[0].T  # (16, TBL)
+        planes = _byte_planes(table_t)
+
+        # Per-sub-batch VPU math stays 128-lane; the accumulate
+        # contraction is stacked across sub-batches into ONE deep-K MXU
+        # dot (tc, tb) @ (tb, PANEL) instead of tb_sub shallow ones.
+        crow = jnp.zeros((1, tc), jnp.float32)
+        ow_l, sig_l = [], []
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]          # local cell, -1 pad
+            idx_s = idx_ref[0, s, :]             # table slot
+            gy, gz = _decode_yz(tile, cells_s, n=n, tz=tz, ty=ty)
+            cy = oy + (gy.astype(jnp.float32) * vs + vs * 0.5)
+            cz = oz + (gz.astype(jnp.float32) * vs + vs * 0.5)
+
+            at = _gather_exact(
+                planes, (tbl_iota == idx_s[None, :]).astype(jnp.int8))
+            s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
+            s1 = jax.nn.sigmoid((at[3] * cz + at[4] * cy + at[5]) / tau_e)
+            s2 = jax.nn.sigmoid((at[6] * cz + at[7] * cy + at[8]) / tau_e)
+            w_s = at[12] * (s0 * s1 * s2)
+            xh = at[9] - at[10] * cy - at[11] * cz
+
+            ow_l.append(jnp.where(
+                cell_iota == cells_s[None, :], w_s[None, :], 0.0
+            ).astype(jnp.float32))
+            sig_l.append(
+                jax.nn.sigmoid((xh[:, None] - cxp) / tau_x))  # (128, PANEL)
+            # Carry row: per-cell sum of weights (columns left of the
+            # panel receive the full weight; sublane reduce to (1, tc)).
+            onehot_wt = jnp.where(
+                cell_iota_t == cells_s[:, None], w_s[:, None], 0.0
+            ).astype(jnp.float32)
+            crow += jnp.sum(onehot_wt, axis=0, keepdims=True)
+        part = _dot_hi(jnp.concatenate(ow_l, axis=1),
+                       jnp.concatenate(sig_l, axis=0),
+                       (((1,), (0,)), ((), ())))
+
+        @pl.when((flags & FLAG_FIRST) != 0)
+        def _():
+            accp[:] = jnp.zeros_like(accp)
+            accc[:] = jnp.zeros_like(accc)
+
+        accp[:] += part
+        accc[:] += crow
+
+        @pl.when((flags & FLAG_LAST) != 0)
+        def _():
+            acc = accp[:]
+            is_a = (fam_b == 0).astype(jnp.float32)
+            outa_ref[0, 0] = acc * is_a
+            outb_ref[0, 0] = acc * (1.0 - is_a)
+            carry_ref[0, 0] = accc[:]
+
+    return kernel
+
+
+def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
+    from jax.experimental import pallas as pl
+
+    ty = tc // tz
+
+    def kernel(bt_ref, p0_ref, fl_ref, cell_ref, idx_ref, tab_ref, prm_ref,
+               ga_ref, gb_ref, gp_ref, dtab_ref):
+        b = pl.program_id(0)
+        tile = bt_ref[b]
+        p0 = p0_ref[b]
+        fam_b = (p0 // LATTICE) % 2
+        ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
+        vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
+
+        is_a = (fam_b == 0).astype(jnp.float32)
+        g_panel = ga_ref[0, 0] * is_a + gb_ref[0, 0] * (1.0 - is_a)
+        gpre = gp_ref[0, 0]  # (1, tc): sum of g over columns < p0
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
+        tbl_iota = jax.lax.broadcasted_iota(jnp.int32, (tbl, TB_LANE), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, PANEL), 1)
+        cxp = ox + ((p0 + xi).astype(jnp.float32) * vs + vs * 0.5)
+
+        table_t = tab_ref[0].T
+        planes = _byte_planes(table_t)
+
+        # Stacked MXU dots (see fwd kernel): the slot gradient gather
+        # pg runs once at (tc, tb) @ (tc, PANEL) -> (tb, PANEL), and
+        # the coefficient-cotangent reduction once at (16, tb) @
+        # (tb-major onehot) -> (16, TBL); per-sub-batch VPU math keeps
+        # its 128-lane shapes.
+        oh_l, da_l, ot_l = [], [], []
+        vals = []
+        for s in range(tb_sub):
+            cells_s = cell_ref[0, s, :]
+            idx_s = idx_ref[0, s, :]
+            gy, gz = _decode_yz(tile, cells_s, n=n, tz=tz, ty=ty)
+            cy = oy + (gy.astype(jnp.float32) * vs + vs * 0.5)
+            cz = oz + (gz.astype(jnp.float32) * vs + vs * 0.5)
+
+            ot_l.append((tbl_iota == idx_s[None, :]).astype(jnp.float32))
+            at = _gather_exact(
+                planes, (tbl_iota == idx_s[None, :]).astype(jnp.int8))
+            s0 = jax.nn.sigmoid((at[0] * cz + at[1] * cy + at[2]) / tau_e)
+            s1 = jax.nn.sigmoid((at[3] * cz + at[4] * cy + at[5]) / tau_e)
+            s2 = jax.nn.sigmoid((at[6] * cz + at[7] * cy + at[8]) / tau_e)
+            cov = s0 * s1 * s2
+            w_s = at[12] * cov
+            xh = at[9] - at[10] * cy - at[11] * cz
+            oh_l.append((cell_iota == cells_s[None, :]).astype(jnp.float32))
+            vals.append((at, s0, s1, s2, cov, w_s, xh, cy, cz))
+
+        onehot_all = jnp.concatenate(oh_l, axis=1)         # (tc, tb)
+        pg_all = _dot_hi_onehot(
+            onehot_all, g_panel, (((0,), (0,)), ((), ())), 0)  # (tb, PANEL)
+        gleft_all = _dot_hi_onehot(
+            gpre, onehot_all, (((1,), (0,)), ((), ())), 1)     # (1, tb)
+
+        for s in range(tb_sub):
+            at, s0, s1, s2, cov, w_s, xh, cy, cz = vals[s]
+            pg = pg_all[s * TB_LANE:(s + 1) * TB_LANE]
+            gleft = gleft_all[:, s * TB_LANE:(s + 1) * TB_LANE]
+            sig = jax.nn.sigmoid((xh[:, None] - cxp) / tau_x)
+            dw = jnp.sum(pg * sig, axis=1) + gleft[0]          # (128,)
+            dxh = (w_s / tau_x) * jnp.sum(pg * sig * (1.0 - sig), axis=1)
+
+            dcov = dw * at[12]
+            dwmul = dw * cov
+            de0 = dcov * cov * (1.0 - s0) / tau_e
+            de1 = dcov * cov * (1.0 - s1) / tau_e
+            de2 = dcov * cov * (1.0 - s2) / tau_e
+            da_l.append(jnp.concatenate([
+                (de0 * cz)[None, :], (de0 * cy)[None, :], de0[None, :],
+                (de1 * cz)[None, :], (de1 * cy)[None, :], de1[None, :],
+                (de2 * cz)[None, :], (de2 * cy)[None, :], de2[None, :],
+                dxh[None, :], (-dxh * cy)[None, :], (-dxh * cz)[None, :],
+                dwmul[None, :],
+                jnp.zeros((3, TB_LANE), jnp.float32),
+            ], axis=0))  # (16, 128)
+        dtab = _dot_hi_onehot(
+            jnp.concatenate(da_l, axis=1),                  # (16, tb)
+            jnp.concatenate(ot_l, axis=1),                  # (tbl, tb)
+            (((1,), (1,)), ((), ())), 1)                    # (16, TBL)
+        dtab_ref[0] = dtab.T
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp op
+# ---------------------------------------------------------------------------
+
+
+def _a_block(p0, nblk):
+    return jnp.where((p0 // LATTICE) % 2 == 0, p0 // PANEL, nblk)
+
+
+def _b_block(p0, nblk):
+    return jnp.where((p0 // LATTICE) % 2 == 1, (p0 - LATTICE) // PANEL, nblk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _seg_accumulate(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
+                    mask_a, mask_b, mask_c, cfg):
+    """(B, TBL, 16) tables -> (n, n, n) occupancy.
+    cfg = hashable (n, tc, tb_sub, tbl, tz, num_batches, prm)."""
+    return _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b,
+                         tblidx_b, mask_a, mask_b, mask_c, cfg)
+
+
+def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
+                  mask_a, mask_b, mask_c, cfg):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, tc, tb_sub, tbl, tz, num_batches, prm = cfg
+    nt = (n * n) // tc
+    nblk = n // PANEL
+    pr = jnp.asarray(np.asarray(prm, np.float32))
+    slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    out_a, out_b, carry = pl.pallas_call(
+        _seg_fwd_kernel(n, tc, tb_sub, tbl, tz),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_batches,),
+            in_specs=[
+                slot, slot,
+                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tc, PANEL),
+                             lambda b, bt, p0, fl:
+                             (bt[b], _a_block(p0[b], nblk), 0, 0)),
+                pl.BlockSpec((1, 1, tc, PANEL),
+                             lambda b, bt, p0, fl:
+                             (bt[b], _b_block(p0[b], nblk), 0, 0)),
+                pl.BlockSpec((1, 1, 1, tc),
+                             lambda b, bt, p0, fl:
+                             (bt[b], p0[b] // LATTICE, 0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((tc, PANEL), jnp.float32),
+                            pltpu.VMEM((1, tc), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, nblk + 1, tc, PANEL), jnp.float32),
+            jax.ShapeDtypeStruct((nt, nblk + 1, tc, PANEL), jnp.float32),
+            jax.ShapeDtypeStruct((nt, n // LATTICE, 1, tc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr)
+
+    # Unvisited blocks carry garbage (Pallas outputs are uninitialized).
+    out_a = jnp.where(mask_a[:, :, None, None], out_a, 0.0)
+    out_b = jnp.where(mask_b[:, :, None, None], out_b, 0.0)
+    carry = jnp.where(mask_c[:, :, None, None], carry, 0.0)
+
+    a_t = out_a[:, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    b_t = out_b[:, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    occ_t = a_t
+    # Family-B panels live in 64-shifted column space.
+    occ_t = occ_t + jnp.concatenate(
+        [jnp.zeros((nt, tc, LATTICE), jnp.float32), b_t[:, :, :n - LATTICE]],
+        axis=2)
+    # Carry: every column left of a panel gets the panel's weight sum.
+    c = carry[:, :, 0, :]                                # (nt, n/64, tc)
+    pre = jnp.flip(jnp.cumsum(jnp.flip(c, 1), axis=1), 1) - c  # sum cs > j
+    pre_t = pre.transpose(0, 2, 1)                       # (nt, tc, n/64)
+    occ_t = occ_t + jnp.broadcast_to(
+        pre_t[:, :, :, None], (nt, tc, n // LATTICE, LATTICE)
+    ).reshape(nt, tc, n)
+
+    # Square-tile reassembly: tile t = (z//tz) * (n//ty) + (y//ty).
+    ty = tc // tz
+    occ = occ_t.reshape(n // tz, n // ty, tz, ty, n)
+    return occ.transpose(0, 2, 1, 3, 4).reshape(n, n, n)
+
+
+def _seg_fwd_rule(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
+                  mask_a, mask_b, mask_c, cfg):
+    out = _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b,
+                        tblidx_b, mask_a, mask_b, mask_c, cfg)
+    return out, (tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
+                 mask_a, mask_b, mask_c)
+
+
+def _seg_bwd_rule(cfg, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
+     mask_a, mask_b, mask_c) = res
+    n, tc, tb_sub, tbl, tz, num_batches, prm = cfg
+    nt = (n * n) // tc
+    nblk = n // PANEL
+    ty = tc // tz
+    pr = jnp.asarray(np.asarray(prm, np.float32))
+
+    g_t = g.reshape(n // tz, tz, n // ty, ty, n).transpose(
+        0, 2, 1, 3, 4).reshape(nt, tc, n)
+    g_a = g_t.reshape(nt, tc, nblk, PANEL).transpose(0, 2, 1, 3)
+    g_sh = jnp.concatenate(
+        [g_t[:, :, LATTICE:], jnp.zeros((nt, tc, LATTICE), g.dtype)], axis=2)
+    g_b = g_sh.reshape(nt, tc, nblk, PANEL).transpose(0, 2, 1, 3)
+    gs = g_t.reshape(nt, tc, n // LATTICE, LATTICE).sum(-1)
+    gpre = jnp.concatenate(
+        [jnp.zeros((nt, tc, 1), g.dtype),
+         jnp.cumsum(gs, axis=-1)[:, :, :-1]], axis=-1)   # exclusive prefix
+    gpre = gpre.transpose(0, 2, 1)[:, :, None, :]        # (nt, n/64, 1, tc)
+
+    slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    dtab = pl.pallas_call(
+        _seg_bwd_kernel(n, tc, tb_sub, tbl, tz),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_batches,),
+            in_specs=[
+                slot, slot,
+                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, tc, PANEL),
+                             lambda b, bt, p0, fl:
+                             (bt[b],
+                              jnp.where((p0[b] // LATTICE) % 2 == 0,
+                                        p0[b] // PANEL, 0), 0, 0)),
+                pl.BlockSpec((1, 1, tc, PANEL),
+                             lambda b, bt, p0, fl:
+                             (bt[b],
+                              jnp.where((p0[b] // LATTICE) % 2 == 1,
+                                        (p0[b] - LATTICE) // PANEL, 0),
+                              0, 0)),
+                pl.BlockSpec((1, 1, 1, tc),
+                             lambda b, bt, p0, fl:
+                             (bt[b], p0[b] // LATTICE, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tbl, NATTR),
+                                   lambda b, *_: (b, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_batches, tbl, NATTR),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
+      g_a, g_b, gpre)
+    return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
+            _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
+            _float0(mask_b), _float0(mask_c))
+
+
+_seg_accumulate.defvjp(_seg_fwd_rule, _seg_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Plan (all static host-side layout)
+# ---------------------------------------------------------------------------
+
+
+class SegSoftPlan:
+    """Static (tile, panel, triangle) batch layout + per-batch tables.
+
+    Built from a `make_soft_plan` FragmentPlan plus the coordinates the
+    plan was built against (x_hit must be evaluated host-side to assign
+    panels).  The panel assignment tolerates ~ (MARGIN - 16) voxels of
+    x_hit drift before sigmoid tails leak past a panel edge — well
+    inside the raster-window drift guard that already forces plan
+    refreshes (`voxtpu.models.fit`)."""
+
+    def __init__(self, soft_plan, coords, tc: int = 128, tb_sub: int = 4,
+                 tbl: int = 128, tz: int = 8):
+        spec = soft_plan.spec
+        n = spec.n
+        if n < 2 * PANEL or n % PANEL:
+            raise ValueError(
+                f"segmented engine needs n >= {2 * PANEL} and n % {PANEL} "
+                f"== 0 (got {n}); use soft_voxelize_fused below that")
+        ty = tc // tz
+        if tc % tz or n % tz or n % ty:
+            raise ValueError(f"tz={tz} must divide tc={tc} and n={n}")
+        self.spec = spec
+        self.tc = tc
+        self.tb_sub = tb_sub
+        self.tbl = tbl
+        self.tz = tz
+        tb = tb_sub * TB_LANE
+        vs = np.float32(spec.voxel_size)
+        org = np.asarray(spec.origin, np.float32)
+
+        # Per-face x-hit plane (host mirror of `triangle_coeffs`; only
+        # steers panel assignment, so float parity is not required).
+        coords_np = np.asarray(coords, np.float32)
+        faces_np = np.asarray(soft_plan.faces_array)
+        tri = coords_np[faces_np]
+        a, b3, c3 = tri[:, 0], tri[:, 1], tri[:, 2]
+        cr = np.cross(b3 - a, c3 - a).astype(np.float32)
+        ca, cb, cc = cr[:, 0], cr[:, 1], cr[:, 2]
+        cd = ca * a[:, 0] + cb * a[:, 1] + cc * a[:, 2]
+        safe = np.where(np.abs(ca) < 1e-20, np.float32(1e-20), ca)
+        fp = cd / safe
+        fq = cb / safe
+        fr = cc / safe
+
+        ys_l, zs_l, fc_l = [], [], []
+        for bucket in soft_plan.buckets:
+            window = bucket[0]
+            sy = np.asarray(bucket[4])
+            sz = np.asarray(bucket[5])
+            fi = np.asarray(bucket[6])
+            dy = np.arange(window)[None, None, :]
+            dz = np.arange(window)[None, :, None]
+            ys = (sy[:, None, None] + dy)
+            zs = (sz[:, None, None] + dz)
+            ok = (ys >= 0) & (ys < n) & (zs >= 0) & (zs < n)
+            ys = np.broadcast_to(ys, ok.shape)
+            zs = np.broadcast_to(zs, ok.shape)
+            fb = np.broadcast_to(fi[:, None, None], ok.shape)
+            ys_l.append(ys[ok])
+            zs_l.append(zs[ok])
+            fc_l.append(fb[ok])
+        if ys_l:
+            ys = np.concatenate(ys_l).astype(np.int64)
+            zs = np.concatenate(zs_l).astype(np.int64)
+            faces = np.concatenate(fc_l).astype(np.int64)
+        else:
+            ys = zs = faces = np.zeros((0,), np.int64)
+        f_total = ys.size
+
+        cy = org[1] + (ys.astype(np.float32) * vs + vs * 0.5)
+        cz = org[2] + (zs.astype(np.float32) * vs + vs * 0.5)
+        xh = fp[faces] - fq[faces] * cy - fr[faces] * cz
+        xv = (xh - org[0]) / vs
+        xv = np.nan_to_num(xv, nan=0.0, posinf=1e9, neginf=-1e9)
+        p0 = np.clip(
+            np.floor((xv - MARGIN) / LATTICE).astype(np.int64) * LATTICE,
+            0, n - PANEL).astype(np.int64)
+
+        tile = (zs // tz) * (n // ty) + ys // ty
+        local = ((zs % tz) * ty + ys % ty).astype(np.int32)
+        runkey = tile * n + p0  # p0 < n: unique (tile, panel) key
+
+        order = np.lexsort((faces, runkey))
+        runkey = runkey[order]
+        faces = faces[order]
+        local = local[order]
+        p0 = p0[order]
+        tile = tile[order]
+
+        # Pair (= unique (tile, panel, face) run) boundaries.
+        if f_total:
+            newpair = np.empty(f_total, bool)
+            newpair[0] = True
+            newpair[1:] = (runkey[1:] != runkey[:-1]) | (
+                faces[1:] != faces[:-1])
+            pair_start = np.nonzero(newpair)[0]
+            pair_end = np.append(pair_start[1:], f_total)
+            pair_run = runkey[pair_start]
+            pair_face = faces[pair_start]
+            pair_size = pair_end - pair_start
+        else:
+            newpair = np.zeros((0,), bool)
+            pair_start = pair_end = pair_run = pair_face = pair_size = (
+                np.zeros((0,), np.int64))
+        num_pairs = pair_start.size
+
+        # Greedy batch cuts within each (tile, panel) run: <= tb slots,
+        # <= tbl unique triangles (vectorized rounds, as FusedSoftPlan).
+        num_tiles = (n * n) // tc
+        if num_pairs:
+            run_starts = np.nonzero(
+                np.concatenate([[True], pair_run[1:] != pair_run[:-1]]))[0]
+            run_ends = np.append(run_starts[1:], num_pairs)
+            run_key = pair_run[run_starts]
+            csum = np.concatenate([[0], np.cumsum(pair_size)])
+            cur = run_starts.copy()
+            bk_l, p0_l, p1_l = [], [], []
+            open_m = cur < run_ends
+            while open_m.any():
+                c = cur[open_m]
+                j_slots = np.searchsorted(csum, csum[c] + tb,
+                                          side="right") - 1
+                j = np.minimum(np.minimum(j_slots, c + tbl),
+                               run_ends[open_m])
+                if not (j > c).all():
+                    raise AssertionError("pair exceeds batch capacity")
+                bk_l.append(run_key[open_m])
+                p0_l.append(c)
+                p1_l.append(j)
+                cur[open_m] = j
+                open_m = cur < run_ends
+            batch_p0i = np.concatenate(p0_l)
+            batch_p1i = np.concatenate(p1_l)
+            batch_key = np.concatenate(bk_l)
+            order_b = np.argsort(batch_p0i, kind="stable")
+            batch_p0i = batch_p0i[order_b]
+            batch_p1i = batch_p1i[order_b]
+            batch_key = batch_key[order_b]
+        else:
+            batch_p0i = batch_p1i = np.zeros((1,), np.int64)
+            batch_key = np.zeros((1,), np.int64)
+        bcount = batch_p0i.size
+
+        batch_tile = (batch_key // n).astype(np.int32)
+        batch_panel = (batch_key % n).astype(np.int32)
+
+        cells_b = np.full((bcount, tb), -1, np.int32)
+        tblidx_b = np.zeros((bcount, tb), np.int32)
+        table_face = np.full((bcount, tbl), -1, np.int64)
+        if f_total:
+            pidx = np.cumsum(newpair, dtype=np.int64) - 1
+            b_of_pair = np.searchsorted(batch_p0i, np.arange(num_pairs),
+                                        side="right") - 1
+            fb = b_of_pair[pidx]
+            fstart_b = pair_start[batch_p0i]
+            slot = np.arange(f_total) - fstart_b[fb]
+            cells_b[fb, slot] = local
+            tblidx_b[fb, slot] = (pidx - batch_p0i[fb]).astype(np.int32)
+            tslot = np.arange(num_pairs) - batch_p0i[b_of_pair]
+            table_face[b_of_pair, tslot] = pair_face
+
+        first = np.empty(bcount, bool)
+        first[0] = True
+        first[1:] = batch_key[1:] != batch_key[:-1]
+        last = np.empty(bcount, bool)
+        last[-1] = True
+        last[:-1] = batch_key[:-1] != batch_key[1:]
+        self.flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+        self.batch_tile = batch_tile
+        self.batch_panel = batch_panel
+        self.cells_b = cells_b.reshape(bcount, tb_sub, TB_LANE)
+        self.tblidx_b = tblidx_b.reshape(bcount, tb_sub, TB_LANE)
+        self.num_batches = bcount
+        self.num_pairs = int(num_pairs)
+        self.num_fragments = int(f_total)
+        self.table_face_flat = np.where(
+            table_face < 0, -1, table_face).reshape(-1).astype(np.int32)
+        self.num_faces = int(faces_np.shape[0])
+
+        # Visited-block masks (unvisited Pallas out blocks are garbage).
+        nblk = n // PANEL
+        mask_a = np.zeros((num_tiles, nblk + 1), bool)
+        mask_b = np.zeros((num_tiles, nblk + 1), bool)
+        mask_c = np.zeros((num_tiles, n // LATTICE), bool)
+        real = batch_p1i > batch_p0i
+        bt_r = batch_tile[real]
+        bp_r = batch_panel[real]
+        fam_b = (bp_r // LATTICE) % 2 == 1
+        mask_a[bt_r[~fam_b], bp_r[~fam_b] // PANEL] = True
+        mask_b[bt_r[fam_b], (bp_r[fam_b] - LATTICE) // PANEL] = True
+        mask_c[bt_r, bp_r // LATTICE] = True
+
+        # Classed reductions for the expand / coords VJPs (shared
+        # machinery with the fused engine).
+        self.expand_cls_d, self.expand_inv_d = _build_classed_reduction(
+            self.table_face_flat, self.num_faces)
+        fl = faces_np.reshape(-1)
+        self.num_vertices = int(fl.max(initial=-1)) + 1
+        self.vert_cls_d, self.vert_inv_d = _build_classed_reduction(
+            fl, self.num_vertices)
+
+        fidx = np.where(self.table_face_flat < 0, self.num_faces,
+                        self.table_face_flat).astype(np.int32)
+        self.batch_tile_d = jnp.asarray(self.batch_tile, jnp.int32)
+        self.batch_panel_d = jnp.asarray(self.batch_panel, jnp.int32)
+        self.flags_d = jnp.asarray(self.flags, jnp.int32)
+        self.cells_d = jnp.asarray(self.cells_b, jnp.int32)
+        self.tblidx_d = jnp.asarray(self.tblidx_b, jnp.int32)
+        self.mask_a_d = jnp.asarray(mask_a)
+        self.mask_b_d = jnp.asarray(mask_b)
+        self.mask_c_d = jnp.asarray(mask_c)
+        self.fidx_d = jnp.asarray(fidx)
+        self.faces_d = jnp.asarray(faces_np)
+
+    _LEAVES = ("batch_tile_d", "batch_panel_d", "flags_d", "cells_d",
+               "tblidx_d", "mask_a_d", "mask_b_d", "mask_c_d", "fidx_d",
+               "expand_cls_d", "expand_inv_d", "vert_cls_d", "vert_inv_d",
+               "faces_d")
+    _AUX = ("spec", "tc", "tb_sub", "tbl", "tz", "num_batches", "num_pairs",
+            "num_fragments", "num_faces", "num_vertices")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, k) for k in self._LEAVES),
+                tuple(getattr(self, k) for k in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for k, v in zip(cls._AUX, aux):
+            setattr(obj, k, v)
+        for k, v in zip(cls._LEAVES, leaves):
+            setattr(obj, k, v)
+        return obj
+
+
+jax.tree_util.register_pytree_node_class(SegSoftPlan)
+
+
+def soft_voxelize_seg(coords, plan: SegSoftPlan, *,
+                      tau_edge_frac: float = 0.25,
+                      tau_x_frac: float = 0.5, clip: bool = True):
+    """Differentiable occupancy via the segmented coefficient-table
+    engine.  Same semantics as `soft_voxelize_fused(mode="exact8")`;
+    sums are reordered (panel + carry vs full-row), so values agree to
+    f32 summation-order tolerance.
+
+    `plan` is a pytree: pass it THROUGH jit boundaries as an argument
+    (closure constants embed the multi-MB layout arrays into HLO).
+    """
+    spec = plan.spec
+    vs = spec.voxel_size
+    tau_e = tau_edge_frac * vs * vs
+    tau_x = tau_x_frac * vs
+
+    tri = _gather_tri(coords, plan.faces_d, plan.vert_cls_d,
+                      plan.vert_inv_d)
+    coeffs = triangle_coeffs(tri)
+    coeffs = jnp.concatenate(
+        [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
+    tables = _expand_rows(coeffs, plan.fidx_d, plan.expand_cls_d,
+                          plan.expand_inv_d)
+    tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
+
+    prm = (float(spec.origin[0]), float(spec.origin[1]),
+           float(spec.origin[2]), float(vs), float(tau_e), float(tau_x))
+    cfg = (spec.n, plan.tc, plan.tb_sub, plan.tbl, plan.tz,
+           plan.num_batches, prm)
+    occ = _seg_accumulate(tables_t, plan.batch_tile_d, plan.batch_panel_d,
+                          plan.flags_d, plan.cells_d, plan.tblidx_d,
+                          plan.mask_a_d, plan.mask_b_d, plan.mask_c_d, cfg)
+    if clip:
+        occ = jnp.clip(occ, 0.0, 1.0)
+    return occ
