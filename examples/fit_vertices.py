@@ -6,7 +6,7 @@ descends the soft-IoU loss of the soft voxelization back toward the
 target — the capability the CUDA reference cannot offer (its parity fill
 has no gradients). Runs on TPU or CPU.
 
-    python examples/fit_vertices.py [--mesh assets/sphere.obj] [--n 48]
+    python examples/fit_vertices.py [--mesh assets/sphere.obj] [--n 64]
                                     [--steps 100] [--noise 0.02]
 """
 
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default="/root/reference/assets/sphere.obj")
-    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=5e-3)

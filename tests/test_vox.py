@@ -98,3 +98,16 @@ def test_translated_grid_origin(sphere_mesh):
     got = np.asarray(voxelize(shifted, spec2, backend="xla").to_dense())
     # Allow tiny deviations from float re-rounding of shifted coordinates.
     assert (got ^ ref).sum() <= got.sum() * 0.01
+
+
+def test_voxelize_rejects_unpacked_n(sphere_mesh):
+    """Packed grids need N % 32 == 0; n=48 used to silently build a
+    1-word grid that truncated columns 32..47."""
+    import pytest
+
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.ops.vox import voxelize
+
+    spec = GridSpec.fit(sphere_mesh.coords, 48)
+    with pytest.raises(ValueError, match="N % 32"):
+        voxelize(sphere_mesh, spec, backend="xla")

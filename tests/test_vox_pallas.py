@@ -213,3 +213,64 @@ def test_pad_granular_bounds():
         assert p >= c
         # waste < one granule = next_pow2(c)/8 (<= 25% of c, typ. 12.5%)
         assert p - c < max(256, _next_pow2(c) // 8)
+
+
+def test_block_compact_preserves_valid_entries():
+    """Compaction moves every valid entry ahead of a sort; row-granular
+    padding may interleave sentinels but must lose nothing."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.vox_pallas_we import _ROW, _SENT, _block_compact
+
+    rng = np.random.default_rng(0)
+    f = 4096
+    keys = rng.integers(0, 1 << 20, f).astype(np.uint32)
+    vals = rng.integers(0, 1 << 30, f).astype(np.uint32)
+    invalid = rng.random(f) < 0.9  # ~10% survivors, like real emits
+    keys[invalid] = np.uint32(0xFFFFFFFF)
+    vals[invalid] = 0
+
+    nvalid = int((~invalid).sum())
+    cap = ((nvalid * 2 + _ROW - 1) // _ROW) * _ROW
+    (ck, cv), ovf = _block_compact(
+        (jnp.asarray(keys), jnp.asarray(vals)), cap=cap)
+    assert int(ovf) == 0
+    ck, cv = np.asarray(ck), np.asarray(cv)
+    keep = ck != 0xFFFFFFFF
+    assert keep.sum() == nvalid
+    # Same multiset of (key, value) pairs as the valid inputs.
+    got = sorted(zip(ck[keep].tolist(), cv[keep].tolist()))
+    want = sorted(zip(keys[~invalid].tolist(), vals[~invalid].tolist()))
+    assert got == want
+
+
+def test_block_compact_overflow_reported():
+    import jax.numpy as jnp
+
+    from voxtpu.ops.vox_pallas_we import _ROW, _block_compact
+
+    keys = np.arange(1024, dtype=np.uint32)  # all valid
+    (ck,), ovf = _block_compact((jnp.asarray(keys),), cap=512)
+    assert int(ovf) == (1024 - 512) // _ROW
+
+
+def test_capped_event_build_matches_uncapped(sphere_mesh):
+    """The cap_f fast path must produce the same sorted key prefix (and
+    so the same grid) as the uncapped plan-build path."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.vox import FragmentPlan, fragments_from_plan
+    from voxtpu.ops.vox_pallas_we import (_compact_stats, _ROW,
+                                          _sorted_keys_from_fragments)
+
+    spec = GridSpec.fit(sphere_mesh.coords, 64)
+    plan = FragmentPlan(sphere_mesh, spec)
+    cells, xs = fragments_from_plan(plan)
+    nvalid, rows = _compact_stats(cells, n=spec.n)
+    cap = max(int(rows) * _ROW * 2, 256)
+    k0, m0, _ = _sorted_keys_from_fragments(cells, xs, n=spec.n, cap_f=None)
+    k1, m1, ovf = _sorted_keys_from_fragments(cells, xs, n=spec.n, cap_f=cap)
+    assert int(ovf) == 0
+    nv = int(nvalid)
+    np.testing.assert_array_equal(np.asarray(k0)[:nv], np.asarray(k1)[:nv])
+    np.testing.assert_array_equal(np.asarray(m0)[:nv], np.asarray(m1)[:nv])

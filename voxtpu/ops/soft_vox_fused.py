@@ -229,7 +229,11 @@ def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
         table_t = tab_ref[0].T  # (16, TBL)
         planes = _byte_planes(table_t) if exact else None
 
-        part = jnp.zeros((tc, n), jnp.float32)
+        # Per-sub-batch VPU math stays 128-lane; the accumulate
+        # contraction is stacked across sub-batches into ONE deep-K MXU
+        # dot (tc, tb) @ (tb, n) instead of tb_sub shallow ones (round
+        # 3, mirrors soft_vox_seg).
+        ow_l, sig_l = [], []
         for s in range(tb_sub):
             cells_s = cell_ref[0, s, :]          # local cell, -1 pad
             idx_s = idx_ref[0, s, :]             # table slot
@@ -255,11 +259,13 @@ def _fused_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
             w_s = at[12] * (s0 * s1 * s2)
             xh = at[9] - at[10] * cy - at[11] * cz
 
-            onehot_w = jnp.where(
+            ow_l.append(jnp.where(
                 cell_iota == cells_s[None, :], w_s[None, :], 0.0
-            ).astype(jnp.float32)
-            sig = jax.nn.sigmoid((xh[:, None] - cx) / tau_x)
-            part += sdot(onehot_w, sig, (((1,), (0,)), ((), ())))
+            ).astype(jnp.float32))
+            sig_l.append(jax.nn.sigmoid((xh[:, None] - cx) / tau_x))
+        part = sdot(jnp.concatenate(ow_l, axis=1),
+                    jnp.concatenate(sig_l, axis=0),
+                    (((1,), (0,)), ((), ())))
 
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
@@ -295,7 +301,10 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, n), 1)
         cx = ox + (x_iota.astype(jnp.float32) * vs + vs * 0.5)
 
-        dtab = jnp.zeros((NATTR, tbl), jnp.float32)
+        # Stacked MXU dots (round 3, mirrors soft_vox_seg): the slot
+        # gradient gather runs once at (tc, tb) @ (tc, n) -> (tb, n),
+        # the coefficient-cotangent reduction once at (16, tb).
+        oh_l, ot_l, da_l, vals = [], [], [], []
         for s in range(tb_sub):
             cells_s = cell_ref[0, s, :]
             idx_s = idx_ref[0, s, :]
@@ -303,13 +312,13 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
             cy = oy + ((gcell % n).astype(jnp.float32) * vs + vs * 0.5)
             cz = oz + ((gcell // n).astype(jnp.float32) * vs + vs * 0.5)
 
-            onehot_t = (tbl_iota == idx_s[None, :]).astype(jnp.float32)
+            ot_l.append((tbl_iota == idx_s[None, :]).astype(jnp.float32))
             if exact:
                 at = _gather_exact(
                     planes, (tbl_iota == idx_s[None, :]).astype(jnp.int8))
             else:
                 at = jax.lax.dot_general(
-                    table_t, onehot_t,
+                    table_t, ot_l[-1],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
@@ -320,11 +329,17 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
             cov = s0 * s1 * s2
             w_s = at[12] * cov
             xh = at[9] - at[10] * cy - at[11] * cz
+            oh_l.append((cell_iota == cells_s[None, :]).astype(jnp.float32))
+            vals.append((at, s0, s1, s2, cov, w_s, xh, cy, cz))
 
-            onehot = (cell_iota == cells_s[None, :]).astype(jnp.float32)
-            dims_pg = (((0,), (0,)), ((), ()))
-            pg = (_dot_hi_onehot(onehot, g_tile, dims_pg, 0) if exact
-                  else sdot(onehot, g_tile, dims_pg))  # (128, N)
+        onehot_all = jnp.concatenate(oh_l, axis=1)       # (tc, tb)
+        dims_pg = (((0,), (0,)), ((), ()))
+        pg_all = (_dot_hi_onehot(onehot_all, g_tile, dims_pg, 0) if exact
+                  else sdot(onehot_all, g_tile, dims_pg))  # (tb, N)
+
+        for s in range(tb_sub):
+            at, s0, s1, s2, cov, w_s, xh, cy, cz = vals[s]
+            pg = pg_all[s * TB_LANE:(s + 1) * TB_LANE]
             sig = jax.nn.sigmoid((xh[:, None] - cx) / tau_x)
             dw = jnp.sum(pg * sig, axis=1)                       # (128,)
             dxh = (w_s / tau_x) * jnp.sum(pg * sig * (1.0 - sig), axis=1)
@@ -334,17 +349,19 @@ def _fused_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int,
             de0 = dcov * cov * (1.0 - s0) / tau_e
             de1 = dcov * cov * (1.0 - s1) / tau_e
             de2 = dcov * cov * (1.0 - s2) / tau_e
-            dattrs = jnp.concatenate([
+            da_l.append(jnp.concatenate([
                 (de0 * cz)[None, :], (de0 * cy)[None, :], de0[None, :],
                 (de1 * cz)[None, :], (de1 * cy)[None, :], de1[None, :],
                 (de2 * cz)[None, :], (de2 * cy)[None, :], de2[None, :],
                 dxh[None, :], (-dxh * cy)[None, :], (-dxh * cz)[None, :],
                 dwmul[None, :],
                 jnp.zeros((3, TB_LANE), jnp.float32),
-            ], axis=0)  # (16, 128)
-            dims_dt = (((1,), (1,)), ((), ()))
-            dtab += (_dot_hi_onehot(dattrs, onehot_t, dims_dt, 1) if exact
-                     else sdot(dattrs, onehot_t, dims_dt))  # (16, TBL)
+            ], axis=0))  # (16, 128)
+        dims_dt = (((1,), (1,)), ((), ()))
+        dattrs_all = jnp.concatenate(da_l, axis=1)       # (16, tb)
+        onehot_t_all = jnp.concatenate(ot_l, axis=1)     # (tbl, tb)
+        dtab = (_dot_hi_onehot(dattrs_all, onehot_t_all, dims_dt, 1)
+                if exact else sdot(dattrs_all, onehot_t_all, dims_dt))
         dtab_ref[0] = dtab.T  # row-major (TBL, 16), matching the tables
 
     return kernel

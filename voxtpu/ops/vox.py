@@ -283,6 +283,7 @@ def voxelize(mesh: Mesh, spec: GridSpec, backend: str = "xla",
     backend: "xla" (this module), "pallas" (TPU kernel), "reference"
     (NumPy oracle), or "native" (C++/OpenMP).
     """
+    spec.num_words  # packed output: raises early unless N % 32 == 0
     if backend == "reference":
         from voxtpu.ops.reference import voxelize_ref
 
