@@ -485,12 +485,15 @@ class SegSoftPlan:
             ys_l.append(ys[ok])
             zs_l.append(zs[ok])
             fc_l.append(fb[ok])
+        # int32 throughout: tile * n + p0 < n^3 / tc < 2^31 at any
+        # packed n, and two passes of int64 arithmetic over ~10M slots
+        # measurably dominate the build (profiled: 16 s -> ~8 s).
         if ys_l:
-            ys = np.concatenate(ys_l).astype(np.int64)
-            zs = np.concatenate(zs_l).astype(np.int64)
-            faces = np.concatenate(fc_l).astype(np.int64)
+            ys = np.concatenate(ys_l).astype(np.int32)
+            zs = np.concatenate(zs_l).astype(np.int32)
+            faces = np.concatenate(fc_l).astype(np.int32)
         else:
-            ys = zs = faces = np.zeros((0,), np.int64)
+            ys = zs = faces = np.zeros((0,), np.int32)
         f_total = ys.size
 
         cy = org[1] + (ys.astype(np.float32) * vs + vs * 0.5)
@@ -499,12 +502,13 @@ class SegSoftPlan:
         xv = (xh - org[0]) / vs
         xv = np.nan_to_num(xv, nan=0.0, posinf=1e9, neginf=-1e9)
         p0 = np.clip(
-            np.floor((xv - MARGIN) / LATTICE).astype(np.int64) * LATTICE,
-            0, n - PANEL).astype(np.int64)
+            np.floor((xv - np.float32(MARGIN)) / np.float32(LATTICE))
+            .astype(np.int32) * LATTICE,
+            0, n - PANEL).astype(np.int32)
 
         tile = (zs // tz) * (n // ty) + ys // ty
         local = ((zs % tz) * ty + ys % ty).astype(np.int32)
-        runkey = tile * n + p0  # p0 < n: unique (tile, panel) key
+        runkey = tile * np.int32(n) + p0  # p0 < n: unique (tile, panel)
 
         order = np.lexsort((faces, runkey))
         runkey = runkey[order]
@@ -572,9 +576,9 @@ class SegSoftPlan:
 
         cells_b = np.full((bcount, tb), -1, np.int32)
         tblidx_b = np.zeros((bcount, tb), np.int32)
-        table_face = np.full((bcount, tbl), -1, np.int64)
+        table_face = np.full((bcount, tbl), -1, np.int32)
         if f_total:
-            pidx = np.cumsum(newpair, dtype=np.int64) - 1
+            pidx = np.cumsum(newpair, dtype=np.int32) - 1
             b_of_pair = np.searchsorted(batch_p0i, np.arange(num_pairs),
                                         side="right") - 1
             fb = b_of_pair[pidx]
