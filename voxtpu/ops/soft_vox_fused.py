@@ -386,9 +386,19 @@ def _float0(x):
 def _fused_accumulate(tables, batch_tile, flags, cells_b, tblidx_b,
                       tile_mask, cfg):
     """(B, TBL, 16) tables -> (n, n, n) occupancy. cfg = hashable
-    (n, tc, tb_sub, tbl, num_batches, prm, mode)."""
+    (n, tc, tb_sub, tbl, num_batches, prm, mode[, extra_tiles]).
+    `extra_tiles` (default 0) appends masked dummy output tiles: pad
+    batches in sharded layouts aim there so their zero panels can't
+    overwrite a real tile's block (voxtpu.parallel.sharded_soft_fused).
+    """
     return _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
                            tile_mask, cfg)
+
+
+def _cfg_unpack(cfg):
+    n, tc, tb_sub, tbl, num_batches, prm, mode = cfg[:7]
+    extra_tiles = cfg[7] if len(cfg) > 7 else 0
+    return n, tc, tb_sub, tbl, num_batches, prm, mode, extra_tiles
 
 
 def _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
@@ -396,7 +406,7 @@ def _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, tc, tb_sub, tbl, num_batches, prm, mode = cfg
+    n, tc, tb_sub, tbl, num_batches, prm, mode, xt = _cfg_unpack(cfg)
     num_tiles = (n * n) // tc
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
@@ -414,14 +424,14 @@ def _fused_fwd_call(tables, batch_tile, flags, cells_b, tblidx_b,
                                    lambda b, bt, fl: (bt[b], 0, 0)),
             scratch_shapes=[pltpu.VMEM((tc, n), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tc, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles + xt, tc, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, flags, cells_b, tblidx_b, tables, pr)
     tiles = jnp.where(tile_mask[:, None, None], tiles, 0.0)
-    return tiles.reshape(n, n, n)
+    return tiles[:num_tiles].reshape(n, n, n)
 
 
 def _fused_fwd_rule(tables, batch_tile, flags, cells_b, tblidx_b,
@@ -436,8 +446,11 @@ def _fused_bwd_rule(cfg, res, g):
     from jax.experimental.pallas import tpu as pltpu
 
     tables, batch_tile, flags, cells_b, tblidx_b, tile_mask = res
-    n, tc, tb_sub, tbl, num_batches, prm, mode = cfg
+    n, tc, tb_sub, tbl, num_batches, prm, mode, xt = _cfg_unpack(cfg)
     g_tiles = g.reshape((n * n) // tc, tc, n)
+    if xt:
+        g_tiles = jnp.concatenate(
+            [g_tiles, jnp.zeros((xt, tc, n), g.dtype)])
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     dtab = pl.pallas_call(

@@ -1,0 +1,198 @@
+"""Sharded soft-voxelization training step on the coefficient-table
+(fused) engine.
+
+Same SPMD structure as `voxtpu.parallel.sharded_soft_pallas` (triangle
+shards -> per-shard partial occupancy -> `psum_scatter` into Z slabs ->
+soft-IoU -> vertex-grad all-reduce in the transpose), but each shard
+accumulates with `voxtpu.ops.soft_vox_fused` — the engine family with
+the best single-chip fwd+bwd numbers (BENCH_NOTES round 3).  The fused
+design makes the sharded port far simpler than the per-fragment
+variant: there are NO F-sized traced arrays, so no rank/permute
+machinery — only per-shard static integer layouts, padded to common
+shapes and passed as sharded array arguments.
+
+Structure per step:
+- Replicated: `_gather_tri` -> `triangle_coeffs` -> one `_expand_rows`
+  over the CONCATENATED shard fidx tables (a single global classed
+  reduction handles the expand VJP across all shards at once, so
+  per-shard ragged class layouts never arise).
+- shard_map: each shard slices its (b_max, TBL, 16) table block and
+  runs the `_fused_accumulate` custom_vjp; pad batches aim at an
+  `extra_tiles` dummy output tile (cfg[7]) so their zero panels cannot
+  overwrite a real tile's block.
+- Collectives: `psum_scatter` over "z" for the grid reduction, `psum`
+  over "d", scalar psums for the IoU; the vertex-gradient all-reduce
+  falls out of the transpose of the replicated table expansion.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from voxtpu.ops.soft_vox_fused import (
+    FLAG_FIRST,
+    FLAG_LAST,
+    NATTR,
+    TB_LANE,
+    FusedSoftPlan,
+    _build_classed_reduction,
+    _expand_rows,
+    _fused_accumulate,
+    _gather_tri,
+    triangle_coeffs,
+)
+from voxtpu.parallel.sharded_fit import _split_soft_buckets
+from voxtpu.parallel.sharded_soft_pallas import _ShardBuckets
+
+
+def build_fused_shard_layouts(soft_plan, n_shards: int, tc: int = 128,
+                              tb_sub: int = 4, tbl: int = 128):
+    """Per-shard FusedSoftPlan layouts padded to a common batch count.
+
+    Returns (stacked, meta): `stacked` is a dict of jnp arrays with a
+    leading shard axis (batch_tile, flags, cells_b, tblidx_b, tile_mask,
+    fidx), `meta` carries the static config plus ONE global classed
+    reduction over the concatenated shard tables for the expand VJP.
+    """
+    n = soft_plan.spec.n
+    shards = _split_soft_buckets(soft_plan, n_shards)
+    plans = []
+    for s in range(n_shards):
+        rows = [
+            (window, None, None, None,
+             jnp.asarray(syp[s]), jnp.asarray(szp[s]), jnp.asarray(fip[s]))
+            for (window, syp, szp, fip) in shards
+        ]
+        plans.append(FusedSoftPlan(_ShardBuckets(soft_plan, rows),
+                                   tc=tc, tb_sub=tb_sub, tbl=tbl))
+
+    num_tiles = (n * n) // tc
+    dummy_tile = num_tiles            # the extra_tiles=1 masked tile
+    b_max = max(p.num_batches for p in plans)
+    num_faces = plans[0].num_faces
+
+    def pad_plan(p):
+        pad_b = b_max - p.num_batches
+        cells_b = np.concatenate(
+            [np.asarray(p.cells_b),
+             np.full((pad_b, tb_sub, TB_LANE), -1, np.int32)])
+        tblidx_b = np.concatenate(
+            [np.asarray(p.tblidx_b),
+             np.zeros((pad_b, tb_sub, TB_LANE), np.int32)])
+        batch_tile = np.concatenate(
+            [p.batch_tile, np.full((pad_b,), dummy_tile, np.int32)])
+        flags = np.concatenate(
+            [p.flags, np.full((pad_b,), FLAG_FIRST | FLAG_LAST, np.int32)])
+        tile_mask = np.concatenate([p.tile_mask, [False]])
+        tface = np.concatenate(
+            [p.table_face_flat, np.full((pad_b * tbl,), -1, np.int32)])
+        return dict(cells_b=cells_b, tblidx_b=tblidx_b,
+                    batch_tile=batch_tile, flags=flags,
+                    tile_mask=tile_mask, table_face=tface)
+
+    padded = [pad_plan(p) for p in plans]
+    stacked_np = {k: np.stack([d[k] for d in padded]) for k in padded[0]}
+    tface_all = stacked_np.pop("table_face")          # (S, b_max*tbl)
+    fidx = np.where(tface_all < 0, num_faces, tface_all).astype(np.int32)
+    # ONE classed reduction over all shards' table rows -> global faces.
+    expand_cls, expand_inv = _build_classed_reduction(
+        tface_all.reshape(-1), num_faces)
+    faces_np = np.asarray(soft_plan.faces_array).reshape(-1)
+    vert_cls, vert_inv = _build_classed_reduction(
+        faces_np, int(faces_np.max(initial=-1)) + 1)
+
+    stacked = {k: jnp.asarray(v) for k, v in stacked_np.items()}
+    stacked["fidx"] = jnp.asarray(fidx)
+    meta = dict(n=n, tc=tc, tb_sub=tb_sub, tbl=tbl, b_max=b_max,
+                num_faces=num_faces, expand_cls=expand_cls,
+                expand_inv=expand_inv, vert_cls=vert_cls,
+                vert_inv=vert_inv)
+    return stacked, meta
+
+
+def make_sharded_fit_fused(soft_plan, target_occ, device_mesh: Mesh,
+                           learning_rate: float = 1e-2,
+                           tau_edge_frac: float = 0.25,
+                           tau_x_frac: float = 0.5,
+                           tc: int = 128, tb_sub: int = 4, tbl: int = 128,
+                           mode: str = "exact8"):
+    """(init_fn, step_fn, loss_fn) like `make_sharded_fit`, with the
+    fused coefficient-table engine on each shard.  `target_slab` must
+    be sharded P('z', None, None)."""
+    spec = soft_plan.spec
+    n = spec.n
+    dd, dz = device_mesh.shape["d"], device_mesh.shape["z"]
+    n_shards = dd * dz
+    if n % dz != 0:
+        raise ValueError(f"N={n} must divide z axis {dz}")
+
+    stacked, meta = build_fused_shard_layouts(
+        soft_plan, n_shards, tc=tc, tb_sub=tb_sub, tbl=tbl)
+    faces_d = jnp.asarray(soft_plan.faces_array)
+    vs = spec.voxel_size
+    prm = (float(spec.origin[0]), float(spec.origin[1]),
+           float(spec.origin[2]), float(vs),
+           float(tau_edge_frac * vs * vs), float(tau_x_frac * vs))
+    cfg = (n, tc, tb_sub, tbl, meta["b_max"], prm, mode, 1)  # extra tile
+
+    shard_spec = NamedSharding(device_mesh, P(("d", "z")))
+    layout_keys = ("batch_tile", "flags", "cells_b", "tblidx_b",
+                   "tile_mask")
+    layout_args = tuple(
+        jax.device_put(stacked[k], shard_spec) for k in layout_keys)
+    fidx_flat = stacked["fidx"].reshape(-1)  # (S * b_max * tbl,)
+
+    def shard_loss(tables, target_slab, batch_tile, flags, cells_b,
+                   tblidx_b, tile_mask):
+        partial = _fused_accumulate(
+            tables[0], batch_tile[0], flags[0], cells_b[0], tblidx_b[0],
+            tile_mask[0], cfg)
+        slab_occ = jax.lax.psum_scatter(partial, "z", scatter_dimension=0,
+                                        tiled=True)
+        slab_occ = jax.lax.psum(slab_occ, "d")
+        slab_occ = jnp.clip(slab_occ, 0.0, 1.0)
+        inter = jnp.sum(slab_occ * target_slab)
+        tot = jnp.sum(slab_occ) + jnp.sum(target_slab)
+        inter = jax.lax.psum(inter, "z")
+        tot = jax.lax.psum(tot, "z")
+        return 1.0 - inter / (tot - inter + 1e-8)
+
+    sharded_loss = jax.shard_map(
+        shard_loss, mesh=device_mesh,
+        in_specs=(P(("d", "z")), P("z", None, None))
+        + tuple(P(("d", "z")) for _ in layout_keys),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(coords, target_slab):
+        # Replicated coefficient path; its VJP IS the vertex all-reduce.
+        tri = _gather_tri(coords, faces_d, meta["vert_cls"],
+                          meta["vert_inv"])
+        coeffs = jnp.concatenate(
+            [triangle_coeffs(tri), jnp.zeros((1, NATTR), jnp.float32)])
+        tables = _expand_rows(coeffs, fidx_flat, meta["expand_cls"],
+                              meta["expand_inv"])
+        tables = tables.reshape(n_shards, meta["b_max"], tbl, NATTR)
+        tables = jax.lax.with_sharding_constraint(
+            tables, NamedSharding(device_mesh, P(("d", "z"))))
+        return sharded_loss(tables, target_slab, *layout_args)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step_fn(coords, opt_state, target_slab):
+        value, grads = jax.value_and_grad(loss_fn)(coords, target_slab)
+        updates, opt_state = optimizer.update(grads, opt_state, coords)
+        coords = optax.apply_updates(coords, updates)
+        return coords, opt_state, value
+
+    def init_fn(coords):
+        coords = jnp.asarray(coords, jnp.float32)
+        return coords, optimizer.init(coords)
+
+    return init_fn, step_fn, loss_fn
