@@ -115,3 +115,24 @@ def test_seg_gradients_match_fused(seg_setup):
     # element-wise guard (scripts/tpu_smoke.py soft_vox_seg@256).
     frac = np.mean(np.abs(gs - gf) <= 5e-3 * scale)
     assert frac >= 0.999, f"only {frac:.2%} of gradient elements agree"
+
+
+def test_tau_x_guard(seg_setup):
+    mesh, spec, sp, plan = seg_setup
+    cj = jnp.asarray(mesh.coords)
+    with pytest.raises(ValueError, match="tau_x_frac"):
+        soft_voxelize_seg(cj, plan, tau_x_frac=4.0)
+
+
+def test_xhit_drift_guard(seg_setup):
+    """x_hit drift is the seg-specific staleness metric: zero at the
+    build coordinates, bounded for a tiny uniform shift, and large for
+    a move along x (x_hit translates 1:1 with x)."""
+    mesh, spec, sp, plan = seg_setup
+    vs = spec.voxel_size
+    assert plan.xhit_drift_vox(mesh.coords) == 0.0
+    shifted = mesh.coords + np.asarray([[2.0 * vs, 0.0, 0.0]], np.float32)
+    d = plan.xhit_drift_vox(shifted)
+    # Pure +x translation moves every x_hit by exactly 2 voxels; the
+    # bound is conservative but must see at least that.
+    assert d >= 2.0

@@ -168,9 +168,18 @@ class VoxelFit:
                           jnp.float32(self.plan.spec.voxel_size))
 
     def maybe_refresh_plan(self, state: FitState, force: bool = False) -> bool:
-        """Rebuild the soft plan if vertices drifted past the pad window."""
+        """Rebuild the soft plan if vertices drifted past the pad window
+        — or, for engine='seg', if any face's x_hit drifted toward a
+        panel edge (vertex drift does not bound x_hit drift; see
+        `SegSoftPlan.xhit_drift_vox`)."""
         if not force and float(self.drift_voxels(state.coords)) <= self.drift_limit_vox:
-            return False
+            if self.engine != "seg" or not self._loss_aux:
+                return False
+            from voxtpu.ops.soft_vox_seg import MARGIN
+
+            limit = max(MARGIN - 17.0 * self._tau[1] - 4.0, 1.0)
+            if self._loss_aux[0].xhit_drift_vox(state.coords) <= limit:
+                return False
         from voxtpu.ops.soft_vox import refresh_soft_plan
 
         self.plan = refresh_soft_plan(self.plan, state.coords)

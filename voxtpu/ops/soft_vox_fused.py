@@ -592,6 +592,109 @@ _gather_tri.defvjp(_gather_tri_fwd, _gather_tri_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _cut_batches(run_key, faces, local, *, tb_sub: int, tbl: int):
+    """Greedy batch layout shared by FusedSoftPlan and SegSoftPlan.
+
+    Inputs are per-slot arrays PRE-SORTED by (run_key, faces): `run_key`
+    the batching domain (tile for the fused plan, tile*n + panel for
+    the segmented one — batches never span two keys), `faces` the
+    triangle id (pairs = unique (run_key, face) runs = table rows),
+    `local` the int32 in-kernel cell code stored per slot.  Cuts
+    batches of <= tb_sub*TB_LANE slots and <= tbl unique triangles,
+    vectorized as rounds over the still-open runs (a python loop over
+    4M+ pairs took ~30 s at 1.35M faces); rounds = max batches in any
+    one run (a handful).
+
+    Returns dict(batch_key, nonempty, flags, cells_b, tblidx_b,
+    table_face, num_pairs): `cells_b`/`tblidx_b` are (B, tb_sub,
+    TB_LANE) with -1/0 padding, `table_face` (B, tbl) with -1 padding,
+    `nonempty` marks batches holding at least one pair, `flags` the
+    per-(run_key) FIRST/LAST accumulation markers.
+    """
+    tb = tb_sub * TB_LANE
+    f_total = run_key.shape[0]
+    if f_total:
+        newpair = np.empty(f_total, bool)
+        newpair[0] = True
+        newpair[1:] = (run_key[1:] != run_key[:-1]) | (
+            faces[1:] != faces[:-1])
+        pair_start = np.nonzero(newpair)[0]
+        pair_end = np.append(pair_start[1:], f_total)
+        pair_run = run_key[pair_start]
+        pair_face = faces[pair_start]
+        pair_size = pair_end - pair_start
+    else:
+        newpair = np.zeros((0,), bool)
+        pair_start = pair_end = pair_run = pair_face = pair_size = (
+            np.zeros((0,), np.int64))
+    num_pairs = pair_start.size
+
+    if num_pairs:
+        run_starts = np.nonzero(
+            np.concatenate([[True], pair_run[1:] != pair_run[:-1]]))[0]
+        run_ends = np.append(run_starts[1:], num_pairs)
+        run_k = pair_run[run_starts]
+        csum = np.concatenate([[0], np.cumsum(pair_size)])
+        cur = run_starts.copy()
+        bk_l, p0_l, p1_l = [], [], []
+        open_m = cur < run_ends
+        while open_m.any():
+            c = cur[open_m]
+            j_slots = np.searchsorted(csum, csum[c] + tb,
+                                      side="right") - 1
+            j = np.minimum(np.minimum(j_slots, c + tbl),
+                           run_ends[open_m])
+            if not (j > c).all():  # pair larger than tb: can't happen
+                raise AssertionError("pair exceeds batch capacity")
+            bk_l.append(run_k[open_m])
+            p0_l.append(c)
+            p1_l.append(j)
+            cur[open_m] = j
+            open_m = cur < run_ends
+        batch_p0 = np.concatenate(p0_l)
+        batch_p1 = np.concatenate(p1_l)
+        batch_key = np.concatenate(bk_l)
+        order_b = np.argsort(batch_p0, kind="stable")
+        batch_p0 = batch_p0[order_b]
+        batch_p1 = batch_p1[order_b]
+        batch_key = batch_key[order_b]
+    else:
+        batch_p0 = batch_p1 = np.zeros((1,), np.int64)
+        batch_key = np.zeros((1,), run_key.dtype)
+    bcount = batch_p0.size
+
+    cells_b = np.full((bcount, tb), -1, np.int32)
+    tblidx_b = np.zeros((bcount, tb), np.int32)
+    table_face = np.full((bcount, tbl), -1, np.int32)
+    if f_total:
+        pidx = np.cumsum(newpair, dtype=np.int32) - 1  # pair id/slot
+        b_of_pair = np.searchsorted(batch_p0, np.arange(num_pairs),
+                                    side="right") - 1
+        fb = b_of_pair[pidx]                     # batch per slot
+        fstart_b = pair_start[batch_p0]          # slot start per batch
+        slot = np.arange(f_total) - fstart_b[fb]
+        cells_b[fb, slot] = local
+        tblidx_b[fb, slot] = (pidx - batch_p0[fb]).astype(np.int32)
+        tslot = np.arange(num_pairs) - batch_p0[b_of_pair]
+        table_face[b_of_pair, tslot] = pair_face
+
+    first = np.empty(bcount, bool)
+    first[0] = True
+    first[1:] = batch_key[1:] != batch_key[:-1]
+    last = np.empty(bcount, bool)
+    last[-1] = True
+    last[:-1] = batch_key[:-1] != batch_key[1:]
+    return dict(
+        batch_key=batch_key,
+        nonempty=batch_p1 > batch_p0,
+        flags=(first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32),
+        cells_b=cells_b.reshape(bcount, tb_sub, TB_LANE),
+        tblidx_b=tblidx_b.reshape(bcount, tb_sub, TB_LANE),
+        table_face=table_face,
+        num_pairs=int(num_pairs),
+    )
+
+
 class FusedSoftPlan:
     """Static (tile, triangle) batch layout + per-batch triangle tables.
 
@@ -646,96 +749,24 @@ class FusedSoftPlan:
         tile = tile[order]
         f_total = cells.size
 
-        # Pair (= unique (tile, face) run) boundaries.
-        if f_total:
-            newpair = np.empty(f_total, bool)
-            newpair[0] = True
-            newpair[1:] = (tile[1:] != tile[:-1]) | (faces[1:] != faces[:-1])
-            pair_start = np.nonzero(newpair)[0]
-            pair_end = np.append(pair_start[1:], f_total)
-            pair_tile = tile[pair_start]
-            pair_face = faces[pair_start]
-            pair_size = pair_end - pair_start
-        else:
-            pair_start = pair_end = pair_tile = pair_face = pair_size = (
-                np.zeros((0,), np.int64))
-        num_pairs = pair_start.size
-
-        # Greedy batch cuts: same tile, <= tb slots, <= tbl uniques.
-        # Vectorized as rounds over the still-open tiles (a python loop
-        # over 4M+ pairs took ~30 s at 1.35M faces); rounds = max
-        # batches in any one tile (a handful).
         num_tiles = (n * n) // tc
-        if num_pairs:
-            run_starts = np.nonzero(
-                np.concatenate([[True], pair_tile[1:] != pair_tile[:-1]])
-            )[0]
-            run_ends = np.append(run_starts[1:], num_pairs)
-            run_tile = pair_tile[run_starts]
-            csum = np.concatenate([[0], np.cumsum(pair_size)])
-            cur = run_starts.copy()
-            bt_l, p0_l, p1_l = [], [], []
-            open_m = cur < run_ends
-            while open_m.any():
-                c = cur[open_m]
-                j_slots = np.searchsorted(csum, csum[c] + tb,
-                                          side="right") - 1
-                j = np.minimum(np.minimum(j_slots, c + tbl),
-                               run_ends[open_m])
-                if not (j > c).all():  # pair larger than tb: can't happen
-                    raise AssertionError("pair exceeds batch capacity")
-                bt_l.append(run_tile[open_m])
-                p0_l.append(c)
-                p1_l.append(j)
-                cur[open_m] = j
-                open_m = cur < run_ends
-            batch_p0 = np.concatenate(p0_l)
-            batch_p1 = np.concatenate(p1_l)
-            batch_t = np.concatenate(bt_l)
-            order_b = np.argsort(batch_p0, kind="stable")
-            batch_p0 = batch_p0[order_b]
-            batch_p1 = batch_p1[order_b]
-            batch_t = batch_t[order_b]
-        else:
-            batch_p0 = batch_p1 = np.zeros((1,), np.int32)
-            batch_t = np.zeros((1,), np.int32)
-        bcount = batch_p0.size
-
-        cells_b = np.full((bcount, tb), -1, np.int32)
-        tblidx_b = np.zeros((bcount, tb), np.int32)
-        table_face = np.full((bcount, tbl), -1, np.int32)
-        batch_tile = batch_t.astype(np.int32)
-        if f_total:
-            pidx = np.cumsum(newpair, dtype=np.int32) - 1  # pair id/frag
-            b_of_pair = np.searchsorted(batch_p0, np.arange(num_pairs),
-                                        side="right") - 1
-            fb = b_of_pair[pidx]                     # batch per fragment
-            fstart_b = pair_start[batch_p0]          # frag start per batch
-            slot = np.arange(f_total) - fstart_b[fb]
-            cells_b[fb, slot] = (cells % tc).astype(np.int32)
-            tblidx_b[fb, slot] = (pidx - batch_p0[fb]).astype(np.int32)
-            tslot = np.arange(num_pairs) - batch_p0[b_of_pair]
-            table_face[b_of_pair, tslot] = pair_face
-
-        first = np.empty(bcount, bool)
-        first[0] = True
-        first[1:] = batch_tile[1:] != batch_tile[:-1]
-        last = np.empty(bcount, bool)
-        last[-1] = True
-        last[:-1] = batch_tile[:-1] != batch_tile[1:]
-        self.flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+        cut = _cut_batches(tile, faces, (cells % tc).astype(np.int32),
+                           tb_sub=tb_sub, tbl=tbl)
+        batch_tile = cut["batch_key"].astype(np.int32)
+        bcount = batch_tile.shape[0]
+        self.flags = cut["flags"]
         self.batch_tile = batch_tile
-        self.cells_b = cells_b.reshape(bcount, tb_sub, TB_LANE)
-        self.tblidx_b = tblidx_b.reshape(bcount, tb_sub, TB_LANE)
+        self.cells_b = cut["cells_b"]
+        self.tblidx_b = cut["tblidx_b"]
         tm = np.zeros(num_tiles, bool)
         if f_total:
-            tm[batch_tile[batch_p1 > batch_p0]] = True
+            tm[batch_tile[cut["nonempty"]]] = True
         self.tile_mask = tm
         self.num_batches = bcount
-        self.num_pairs = int(num_pairs)
+        self.num_pairs = cut["num_pairs"]
         self.num_fragments = int(f_total)
         # Flat face ids for the table gather: -1 -> T (a zero row).
-        self.table_face_flat = table_face.reshape(-1).astype(np.int32)
+        self.table_face_flat = cut["table_face"].reshape(-1)
         self.num_faces = int(np.asarray(soft_plan.faces_array).shape[0])
 
         # Classed slot->face reduction layout for the expand VJP (round

@@ -57,6 +57,7 @@ from voxtpu.ops.soft_vox_fused import (
     TB_LANE,
     _build_classed_reduction,
     _byte_planes,
+    _cut_batches,
     _dot_hi,
     _dot_hi_onehot,
     _expand_rows,
@@ -424,6 +425,18 @@ _seg_accumulate.defvjp(_seg_fwd_rule, _seg_bwd_rule)
 # ---------------------------------------------------------------------------
 
 
+def _xplane(coords_np: np.ndarray, faces_np: np.ndarray):
+    """Per-face x-hit plane (P, Q, R) and raw A = cross()[0] — the host
+    mirror of `triangle_coeffs` rows 9..11."""
+    tri = coords_np[faces_np]
+    a, b3, c3 = tri[:, 0], tri[:, 1], tri[:, 2]
+    cr = np.cross(b3 - a, c3 - a).astype(np.float32)
+    ca, cb, cc = cr[:, 0], cr[:, 1], cr[:, 2]
+    cd = ca * a[:, 0] + cb * a[:, 1] + cc * a[:, 2]
+    safe = np.where(np.abs(ca) < 1e-20, np.float32(1e-20), ca)
+    return cd / safe, cb / safe, cc / safe, ca
+
+
 class SegSoftPlan:
     """Static (tile, panel, triangle) batch layout + per-batch tables.
 
@@ -442,6 +455,11 @@ class SegSoftPlan:
             raise ValueError(
                 f"segmented engine needs n >= {2 * PANEL} and n % {PANEL} "
                 f"== 0 (got {n}); use soft_voxelize_fused below that")
+        if n > 4096:
+            raise ValueError(
+                f"segmented engine caps at n = 4096 (got {n}): the int32 "
+                f"(tile, panel) run key tile*n + p0 < n^3/tc reaches 2^32 "
+                f"at 8192")
         ty = tc // tz
         if tc % tz or n % tz or n % ty:
             raise ValueError(f"tz={tz} must divide tc={tc} and n={n}")
@@ -458,15 +476,16 @@ class SegSoftPlan:
         # steers panel assignment, so float parity is not required).
         coords_np = np.asarray(coords, np.float32)
         faces_np = np.asarray(soft_plan.faces_array)
-        tri = coords_np[faces_np]
-        a, b3, c3 = tri[:, 0], tri[:, 1], tri[:, 2]
-        cr = np.cross(b3 - a, c3 - a).astype(np.float32)
-        ca, cb, cc = cr[:, 0], cr[:, 1], cr[:, 2]
-        cd = ca * a[:, 0] + cb * a[:, 1] + cc * a[:, 2]
-        safe = np.where(np.abs(ca) < 1e-20, np.float32(1e-20), ca)
-        fp = cd / safe
-        fq = cb / safe
-        fr = cc / safe
+        fp, fq, fr, f_a = _xplane(coords_np, faces_np)
+
+        # Per-face window center/radius + build-time x-plane snapshot:
+        # feeds `xhit_drift_vox`, the seg-specific refresh guard (panel
+        # assignments go stale under x_hit motion, which VERTEX drift
+        # does not bound — x_hit amplifies by ~|Q|, |R|).
+        num_faces_t = faces_np.shape[0]
+        f_cy0 = np.zeros(num_faces_t, np.float32)
+        f_cz0 = np.zeros(num_faces_t, np.float32)
+        f_rad = np.zeros(num_faces_t, np.float32)
 
         ys_l, zs_l, fc_l = [], [], []
         for bucket in soft_plan.buckets:
@@ -474,6 +493,12 @@ class SegSoftPlan:
             sy = np.asarray(bucket[4])
             sz = np.asarray(bucket[5])
             fi = np.asarray(bucket[6])
+            real = (sy < n) & (sz < n)  # padded rows carry sy = sz = n
+            f_cy0[fi[real]] = org[1] + (
+                (sy[real] + window * 0.5).astype(np.float32) * vs)
+            f_cz0[fi[real]] = org[2] + (
+                (sz[real] + window * 0.5).astype(np.float32) * vs)
+            f_rad[fi[real]] = (window * 0.5 + 0.5) * vs
             dy = np.arange(window)[None, None, :]
             dz = np.arange(window)[None, :, None]
             ys = (sy[:, None, None] + dy)
@@ -485,9 +510,9 @@ class SegSoftPlan:
             ys_l.append(ys[ok])
             zs_l.append(zs[ok])
             fc_l.append(fb[ok])
-        # int32 throughout: tile * n + p0 < n^3 / tc < 2^31 at any
-        # packed n, and two passes of int64 arithmetic over ~10M slots
-        # measurably dominate the build (profiled: 16 s -> ~8 s).
+        # int32 throughout: tile * n + p0 < n^3 / tc < 2^31 for the
+        # supported n <= 4096 (enforced above), and int64 passes over
+        # ~10M slots measurably slow the build.
         if ys_l:
             ys = np.concatenate(ys_l).astype(np.int32)
             zs = np.concatenate(zs_l).astype(np.int32)
@@ -514,97 +539,25 @@ class SegSoftPlan:
         runkey = runkey[order]
         faces = faces[order]
         local = local[order]
-        p0 = p0[order]
-        tile = tile[order]
 
-        # Pair (= unique (tile, panel, face) run) boundaries.
-        if f_total:
-            newpair = np.empty(f_total, bool)
-            newpair[0] = True
-            newpair[1:] = (runkey[1:] != runkey[:-1]) | (
-                faces[1:] != faces[:-1])
-            pair_start = np.nonzero(newpair)[0]
-            pair_end = np.append(pair_start[1:], f_total)
-            pair_run = runkey[pair_start]
-            pair_face = faces[pair_start]
-            pair_size = pair_end - pair_start
-        else:
-            newpair = np.zeros((0,), bool)
-            pair_start = pair_end = pair_run = pair_face = pair_size = (
-                np.zeros((0,), np.int64))
-        num_pairs = pair_start.size
-
-        # Greedy batch cuts within each (tile, panel) run: <= tb slots,
-        # <= tbl unique triangles (vectorized rounds, as FusedSoftPlan).
+        # Pair/batch layout via the shared greedy cutter (batches never
+        # span two (tile, panel) keys; <= tb slots, <= tbl uniques).
         num_tiles = (n * n) // tc
-        if num_pairs:
-            run_starts = np.nonzero(
-                np.concatenate([[True], pair_run[1:] != pair_run[:-1]]))[0]
-            run_ends = np.append(run_starts[1:], num_pairs)
-            run_key = pair_run[run_starts]
-            csum = np.concatenate([[0], np.cumsum(pair_size)])
-            cur = run_starts.copy()
-            bk_l, p0_l, p1_l = [], [], []
-            open_m = cur < run_ends
-            while open_m.any():
-                c = cur[open_m]
-                j_slots = np.searchsorted(csum, csum[c] + tb,
-                                          side="right") - 1
-                j = np.minimum(np.minimum(j_slots, c + tbl),
-                               run_ends[open_m])
-                if not (j > c).all():
-                    raise AssertionError("pair exceeds batch capacity")
-                bk_l.append(run_key[open_m])
-                p0_l.append(c)
-                p1_l.append(j)
-                cur[open_m] = j
-                open_m = cur < run_ends
-            batch_p0i = np.concatenate(p0_l)
-            batch_p1i = np.concatenate(p1_l)
-            batch_key = np.concatenate(bk_l)
-            order_b = np.argsort(batch_p0i, kind="stable")
-            batch_p0i = batch_p0i[order_b]
-            batch_p1i = batch_p1i[order_b]
-            batch_key = batch_key[order_b]
-        else:
-            batch_p0i = batch_p1i = np.zeros((1,), np.int64)
-            batch_key = np.zeros((1,), np.int64)
-        bcount = batch_p0i.size
-
+        cut = _cut_batches(runkey, faces, local, tb_sub=tb_sub, tbl=tbl)
+        batch_key = cut["batch_key"]
+        bcount = batch_key.shape[0]
         batch_tile = (batch_key // n).astype(np.int32)
         batch_panel = (batch_key % n).astype(np.int32)
 
-        cells_b = np.full((bcount, tb), -1, np.int32)
-        tblidx_b = np.zeros((bcount, tb), np.int32)
-        table_face = np.full((bcount, tbl), -1, np.int32)
-        if f_total:
-            pidx = np.cumsum(newpair, dtype=np.int32) - 1
-            b_of_pair = np.searchsorted(batch_p0i, np.arange(num_pairs),
-                                        side="right") - 1
-            fb = b_of_pair[pidx]
-            fstart_b = pair_start[batch_p0i]
-            slot = np.arange(f_total) - fstart_b[fb]
-            cells_b[fb, slot] = local
-            tblidx_b[fb, slot] = (pidx - batch_p0i[fb]).astype(np.int32)
-            tslot = np.arange(num_pairs) - batch_p0i[b_of_pair]
-            table_face[b_of_pair, tslot] = pair_face
-
-        first = np.empty(bcount, bool)
-        first[0] = True
-        first[1:] = batch_key[1:] != batch_key[:-1]
-        last = np.empty(bcount, bool)
-        last[-1] = True
-        last[:-1] = batch_key[:-1] != batch_key[1:]
-        self.flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+        self.flags = cut["flags"]
         self.batch_tile = batch_tile
         self.batch_panel = batch_panel
-        self.cells_b = cells_b.reshape(bcount, tb_sub, TB_LANE)
-        self.tblidx_b = tblidx_b.reshape(bcount, tb_sub, TB_LANE)
+        self.cells_b = cut["cells_b"]
+        self.tblidx_b = cut["tblidx_b"]
         self.num_batches = bcount
-        self.num_pairs = int(num_pairs)
+        self.num_pairs = cut["num_pairs"]
         self.num_fragments = int(f_total)
-        self.table_face_flat = np.where(
-            table_face < 0, -1, table_face).reshape(-1).astype(np.int32)
+        self.table_face_flat = cut["table_face"].reshape(-1)
         self.num_faces = int(faces_np.shape[0])
 
         # Visited-block masks (unvisited Pallas out blocks are garbage).
@@ -612,7 +565,7 @@ class SegSoftPlan:
         mask_a = np.zeros((num_tiles, nblk + 1), bool)
         mask_b = np.zeros((num_tiles, nblk + 1), bool)
         mask_c = np.zeros((num_tiles, n // LATTICE), bool)
-        real = batch_p1i > batch_p0i
+        real = cut["nonempty"]
         bt_r = batch_tile[real]
         bp_r = batch_panel[real]
         fam_b = (bp_r // LATTICE) % 2 == 1
@@ -641,6 +594,48 @@ class SegSoftPlan:
         self.mask_c_d = jnp.asarray(mask_c)
         self.fidx_d = jnp.asarray(fidx)
         self.faces_d = jnp.asarray(faces_np)
+
+        # Host-only drift-guard snapshot (not pytree leaves; available
+        # on the original plan object, which VoxelFit holds).
+        self._faces_np = faces_np
+        self._fp0, self._fq0, self._fr0 = fp, fq, fr
+        self._fa0 = f_a
+        self._cy0, self._cz0, self._rad = f_cy0, f_cz0, f_rad
+
+    def xhit_drift_vox(self, coords) -> float:
+        """Conservative max x_hit drift (voxels) of any active face
+        since the plan was built.
+
+        Panels are assigned from build-time x_hit and stay exact while
+        x_hit moves less than MARGIN minus the sigmoid saturation width
+        (~17 * tau_x_frac voxels); VERTEX drift does not bound x_hit
+        drift (x_hit amplifies vertex motion by ~|Q|, |R|, unbounded
+        for near-x-parallel triangles), so `VoxelFit(engine='seg')`
+        refreshes on THIS metric as well.  The bound per face is the
+        center delta plus a Lipschitz term over the raster window;
+        faces whose x-plane sits far outside the grid's x-range in both
+        configurations are ignored (their panels are clamped and fully
+        saturated either way), as are exactly-degenerate faces (their
+        kernel weight is 0)."""
+        spec = self.spec
+        n, vs = spec.n, spec.voxel_size
+        c = np.asarray(coords, np.float32)
+        p, q, r, a = _xplane(c, self._faces_np)
+        dp = p - self._fp0
+        dq = q - self._fq0
+        dr = r - self._fr0
+        d = (np.abs(dp - dq * self._cy0 - dr * self._cz0)
+             + (np.abs(dq) + np.abs(dr)) * self._rad)
+        xo = (self._fp0 - self._fq0 * self._cy0 - self._fr0 * self._cz0
+              - spec.origin[0]) / vs
+        xn = (p - q * self._cy0 - r * self._cz0 - spec.origin[0]) / vs
+        band = 2.0 * MARGIN + self._rad / vs
+        active = (((xo > -band) & (xo < n + band))
+                  | ((xn > -band) & (xn < n + band)))
+        active &= (np.abs(self._fa0) > 1e-20) & (np.abs(a) > 1e-20)
+        if not active.any():
+            return 0.0
+        return float(np.nan_to_num(d[active], nan=np.inf).max() / vs)
 
     _LEAVES = ("batch_tile_d", "batch_panel_d", "flags_d", "cells_d",
                "tblidx_d", "mask_a_d", "mask_b_d", "mask_c_d", "fidx_d",
@@ -676,7 +671,19 @@ def soft_voxelize_seg(coords, plan: SegSoftPlan, *,
 
     `plan` is a pytree: pass it THROUGH jit boundaries as an argument
     (closure constants embed the multi-MB layout arrays into HLO).
+
+    The panel decomposition is exact only while the X-profile sigmoid
+    saturates inside the MARGIN-voxel panel edge guard: f32 sigmoid
+    rounds to 0/1 beyond ~17 sigmoid units, so tau_x_frac must satisfy
+    MARGIN / tau_x_frac >= 17 (raises otherwise — use the fused engine
+    for wider profiles).
     """
+    if tau_x_frac * 17.0 > MARGIN:
+        raise ValueError(
+            f"tau_x_frac={tau_x_frac} too wide for the segmented engine: "
+            f"the X sigmoid must saturate within the {MARGIN}-voxel panel "
+            f"margin (tau_x_frac <= {MARGIN / 17.0:.2f}); use "
+            f"soft_voxelize_fused for wider profiles")
     spec = plan.spec
     vs = spec.voxel_size
     tau_e = tau_edge_frac * vs * vs

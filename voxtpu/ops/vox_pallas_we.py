@@ -611,16 +611,19 @@ class DeviceVoxPipeline:
             tuple(b[i] for i in range(1, 6)) for b in frag_plan.buckets)
         # Size the static batch capacity from the real event layout
         # (exact for fixed coords; `slack` headroom for moving ones).
-        probe = WordEventVoxPlan(mesh, spec, frag_plan=frag_plan, tc=tc,
-                                 tb_sub=tb_sub)
+        # ONE fragment emission serves both the probe and the
+        # compaction stats — each full rasterization is a multi-million
+        # candidate dispatch.
+        frags = fragments_from_plan(frag_plan)
+        probe = WordEventVoxPlan(mesh, spec, frag_plan=frag_plan,
+                                 fragments=frags, tc=tc, tb_sub=tb_sub)
         self.b_max = max(int(np.ceil(probe.num_batches * slack)), 1)
         self.num_events = probe.num_events
         self.num_fragments = probe.num_fragments
         # Post-compaction fragment capacity (1/8-octave granular so
         # refresh loops reuse compiled shapes; floor keeps tiny meshes'
         # shapes valid).
-        cells, _ = fragments_from_plan(frag_plan)
-        nvalid, rows = _compact_stats(cells, n=n)
+        nvalid, rows = _compact_stats(frags[0], n=n)
         self.num_valid = int(nvalid)
         from voxtpu.ops.vox import _pad_granular
         self.cap_f = max(

@@ -142,9 +142,18 @@ def make_sharded_fit_fused(soft_plan, target_occ, device_mesh: Mesh,
     shard_spec = NamedSharding(device_mesh, P(("d", "z")))
     layout_keys = ("batch_tile", "flags", "cells_b", "tblidx_b",
                    "tile_mask")
-    layout_args = tuple(
-        jax.device_put(stacked[k], shard_spec) for k in layout_keys)
-    fidx_flat = stacked["fidx"].reshape(-1)  # (S * b_max * tbl,)
+    # Every large layout array travels as a jit ARGUMENT (pytree `aux`):
+    # closure capture would embed them as HLO literals, which overflows
+    # the remote-compile request at large face counts (the lesson in
+    # voxtpu.ops.soft_vox_fused's module notes).
+    aux = dict(
+        layout=tuple(jax.device_put(stacked[k], shard_spec)
+                     for k in layout_keys),
+        fidx_flat=stacked["fidx"].reshape(-1),   # (S * b_max * tbl,)
+        faces=faces_d,
+        expand_cls=meta["expand_cls"], expand_inv=meta["expand_inv"],
+        vert_cls=meta["vert_cls"], vert_inv=meta["vert_inv"],
+    )
 
     def shard_loss(tables, target_slab, batch_tile, flags, cells_b,
                    tblidx_b, tile_mask):
@@ -169,27 +178,33 @@ def make_sharded_fit_fused(soft_plan, target_occ, device_mesh: Mesh,
         check_vma=False,
     )
 
-    def loss_fn(coords, target_slab):
+    def _loss(coords, target_slab, a):
         # Replicated coefficient path; its VJP IS the vertex all-reduce.
-        tri = _gather_tri(coords, faces_d, meta["vert_cls"],
-                          meta["vert_inv"])
+        tri = _gather_tri(coords, a["faces"], a["vert_cls"],
+                          a["vert_inv"])
         coeffs = jnp.concatenate(
             [triangle_coeffs(tri), jnp.zeros((1, NATTR), jnp.float32)])
-        tables = _expand_rows(coeffs, fidx_flat, meta["expand_cls"],
-                              meta["expand_inv"])
+        tables = _expand_rows(coeffs, a["fidx_flat"], a["expand_cls"],
+                              a["expand_inv"])
         tables = tables.reshape(n_shards, meta["b_max"], tbl, NATTR)
         tables = jax.lax.with_sharding_constraint(
             tables, NamedSharding(device_mesh, P(("d", "z"))))
-        return sharded_loss(tables, target_slab, *layout_args)
+        return sharded_loss(tables, target_slab, *a["layout"])
 
     optimizer = optax.adam(learning_rate)
 
     @jax.jit
-    def step_fn(coords, opt_state, target_slab):
-        value, grads = jax.value_and_grad(loss_fn)(coords, target_slab)
+    def _step(coords, opt_state, target_slab, a):
+        value, grads = jax.value_and_grad(_loss)(coords, target_slab, a)
         updates, opt_state = optimizer.update(grads, opt_state, coords)
         coords = optax.apply_updates(coords, updates)
         return coords, opt_state, value
+
+    def loss_fn(coords, target_slab):
+        return jax.jit(_loss)(coords, target_slab, aux)
+
+    def step_fn(coords, opt_state, target_slab):
+        return _step(coords, opt_state, target_slab, aux)
 
     def init_fn(coords):
         coords = jnp.asarray(coords, jnp.float32)
