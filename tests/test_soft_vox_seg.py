@@ -124,6 +124,44 @@ def test_tau_x_guard(seg_setup):
         soft_voxelize_seg(cj, plan, tau_x_frac=4.0)
 
 
+def test_seg_sharded_matches_unsharded(seg_setup):
+    """`make_sharded_fit_seg` on the 8-virtual-device mesh: the sharded
+    loss equals the unsharded seg-engine loss, and one Adam step on the
+    sharded program lowers it."""
+    from jax.sharding import Mesh as DeviceMesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from voxtpu.models.fit import soft_iou_loss
+    from voxtpu.parallel.sharded_soft_seg import make_sharded_fit_seg
+
+    mesh, spec, sp, plan = seg_setup
+    n = spec.n
+    # Synthetic ball target (hard-voxelizing the torus at 256^3 on CPU
+    # would dominate the test's cost; the loss identity doesn't care).
+    ax = (np.arange(n, dtype=np.float32) - n / 2) / (n / 2)
+    target = ((ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+               + ax[None, None, :] ** 2) < 0.45).astype(np.float32)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    device_mesh = DeviceMesh(devices, ("d", "z"))
+    target_slab = jax.device_put(
+        target, NamedSharding(device_mesh, P("z", None, None)))
+
+    init_fn, step_fn, loss_fn, shard_plans = make_sharded_fit_seg(
+        sp, mesh.coords, target, device_mesh, learning_rate=5e-3)
+    assert len(shard_plans) == 8
+    assert all(p.xhit_drift_vox(mesh.coords) == 0.0 for p in shard_plans)
+    coords, opt_state = init_fn(mesh.coords)
+    l_sharded = float(loss_fn(coords, target_slab))
+
+    occ = soft_voxelize_seg(jnp.asarray(mesh.coords), plan)
+    l_ref = float(soft_iou_loss(occ, jnp.asarray(target)))
+    np.testing.assert_allclose(l_sharded, l_ref, rtol=2e-4)
+
+    coords, opt_state, value = step_fn(coords, opt_state, target_slab)
+    assert float(loss_fn(coords, target_slab)) < l_sharded
+
+
 def test_xhit_drift_guard(seg_setup):
     """x_hit drift is the seg-specific staleness metric: zero at the
     build coordinates, bounded for a tiny uniform shift, and large for

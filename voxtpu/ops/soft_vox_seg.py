@@ -268,9 +268,18 @@ def _b_block(p0, nblk):
 def _seg_accumulate(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                     mask_a, mask_b, mask_c, cfg):
     """(B, TBL, 16) tables -> (n, n, n) occupancy.
-    cfg = hashable (n, tc, tb_sub, tbl, tz, num_batches, prm)."""
+    cfg = hashable (n, tc, tb_sub, tbl, tz, num_batches, prm
+    [, extra_tiles]) — `extra_tiles` (default 0) appends masked dummy
+    output-tile rows for sharded layouts' pad batches (the masks must
+    then cover num_tiles + extra_tiles rows)."""
     return _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b,
                          tblidx_b, mask_a, mask_b, mask_c, cfg)
+
+
+def _seg_cfg_unpack(cfg):
+    n, tc, tb_sub, tbl, tz, num_batches, prm = cfg[:7]
+    extra_tiles = cfg[7] if len(cfg) > 7 else 0
+    return n, tc, tb_sub, tbl, tz, num_batches, prm, extra_tiles
 
 
 def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
@@ -278,8 +287,9 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, tc, tb_sub, tbl, tz, num_batches, prm = cfg
+    n, tc, tb_sub, tbl, tz, num_batches, prm, xt = _seg_cfg_unpack(cfg)
     nt = (n * n) // tc
+    nt_out = nt + xt
     nblk = n // PANEL
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
@@ -308,9 +318,9 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                             pltpu.VMEM((1, tc), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((nt, nblk + 1, tc, PANEL), jnp.float32),
-            jax.ShapeDtypeStruct((nt, nblk + 1, tc, PANEL), jnp.float32),
-            jax.ShapeDtypeStruct((nt, n // LATTICE, 1, tc), jnp.float32),
+            jax.ShapeDtypeStruct((nt_out, nblk + 1, tc, PANEL), jnp.float32),
+            jax.ShapeDtypeStruct((nt_out, nblk + 1, tc, PANEL), jnp.float32),
+            jax.ShapeDtypeStruct((nt_out, n // LATTICE, 1, tc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -318,20 +328,21 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr)
 
-    # Unvisited blocks carry garbage (Pallas outputs are uninitialized).
+    # Unvisited blocks carry garbage (Pallas outputs are uninitialized);
+    # extra_tiles rows are the pad batches' dump and are dropped here.
     out_a = jnp.where(mask_a[:, :, None, None], out_a, 0.0)
     out_b = jnp.where(mask_b[:, :, None, None], out_b, 0.0)
     carry = jnp.where(mask_c[:, :, None, None], carry, 0.0)
 
-    a_t = out_a[:, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
-    b_t = out_b[:, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    a_t = out_a[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    b_t = out_b[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
     occ_t = a_t
     # Family-B panels live in 64-shifted column space.
     occ_t = occ_t + jnp.concatenate(
         [jnp.zeros((nt, tc, LATTICE), jnp.float32), b_t[:, :, :n - LATTICE]],
         axis=2)
     # Carry: every column left of a panel gets the panel's weight sum.
-    c = carry[:, :, 0, :]                                # (nt, n/64, tc)
+    c = carry[:nt, :, 0, :]                              # (nt, n/64, tc)
     pre = jnp.flip(jnp.cumsum(jnp.flip(c, 1), axis=1), 1) - c  # sum cs > j
     pre_t = pre.transpose(0, 2, 1)                       # (nt, tc, n/64)
     occ_t = occ_t + jnp.broadcast_to(
@@ -358,7 +369,7 @@ def _seg_bwd_rule(cfg, res, g):
 
     (tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
      mask_a, mask_b, mask_c) = res
-    n, tc, tb_sub, tbl, tz, num_batches, prm = cfg
+    n, tc, tb_sub, tbl, tz, num_batches, prm, xt = _seg_cfg_unpack(cfg)
     nt = (n * n) // tc
     nblk = n // PANEL
     ty = tc // tz
@@ -366,15 +377,20 @@ def _seg_bwd_rule(cfg, res, g):
 
     g_t = g.reshape(n // tz, tz, n // ty, ty, n).transpose(
         0, 2, 1, 3, 4).reshape(nt, tc, n)
-    g_a = g_t.reshape(nt, tc, nblk, PANEL).transpose(0, 2, 1, 3)
+    if xt:
+        # Pad batches read the extra tiles' zero cotangents -> zero dtab.
+        g_t = jnp.concatenate([g_t, jnp.zeros((xt, tc, n), g.dtype)])
+    nt_o = nt + xt
+    g_a = g_t.reshape(nt_o, tc, nblk, PANEL).transpose(0, 2, 1, 3)
     g_sh = jnp.concatenate(
-        [g_t[:, :, LATTICE:], jnp.zeros((nt, tc, LATTICE), g.dtype)], axis=2)
-    g_b = g_sh.reshape(nt, tc, nblk, PANEL).transpose(0, 2, 1, 3)
-    gs = g_t.reshape(nt, tc, n // LATTICE, LATTICE).sum(-1)
+        [g_t[:, :, LATTICE:], jnp.zeros((nt_o, tc, LATTICE), g.dtype)],
+        axis=2)
+    g_b = g_sh.reshape(nt_o, tc, nblk, PANEL).transpose(0, 2, 1, 3)
+    gs = g_t.reshape(nt_o, tc, n // LATTICE, LATTICE).sum(-1)
     gpre = jnp.concatenate(
-        [jnp.zeros((nt, tc, 1), g.dtype),
+        [jnp.zeros((nt_o, tc, 1), g.dtype),
          jnp.cumsum(gs, axis=-1)[:, :, :-1]], axis=-1)   # exclusive prefix
-    gpre = gpre.transpose(0, 2, 1)[:, :, None, :]        # (nt, n/64, 1, tc)
+    gpre = gpre.transpose(0, 2, 1)[:, :, None, :]        # (nt_o, n/64, 1, tc)
 
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     dtab = pl.pallas_call(
