@@ -247,11 +247,22 @@ def _vox_mxu_util(plan, n: int, dt: float) -> float:
 
 def _report_vox_total(mesh, spec, n, iters, headline: bool):
     """Warm end-to-end total (VERDICT r2 missing #1): one jit from
-    triangle coords to the packed grid — fragment raster, word-event
-    sorts, device-side batch layout, MXU kernel. Matches the quantity
-    in the reference's `VOX::Compute<TILED>` scope minus PCIe copies
-    (the tunnel's D2H is not comparable transport; BENCH_NOTES)."""
+    triangle coords to the packed grid. Two pipelines measure it:
+
+    - slot (`vox_slots.SlotVoxPipeline`, n <= 2048): static slot
+      layout, per call = elementwise pre-pass + suffix kernel — the
+      fast path and the reported total.
+    - event (`vox_pallas_we.DeviceVoxPipeline`): per-call sorts +
+      word-event reduction — kept as the dynamic-layout comparison
+      (and the only total above 2048^3).
+
+    Both match the quantity in the reference's `VOX::Compute<TILED>`
+    scope minus PCIe copies (the tunnel's D2H is not comparable
+    transport; BENCH_NOTES). The two grids are xor-compared on device.
+    """
     import time as _t
+
+    import jax.numpy as _jnp
 
     from voxtpu.ops.vox_pallas_we import DeviceVoxPipeline
     from voxtpu.utils.timing import time_device_fn
@@ -263,14 +274,39 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
     words, overflow = run()  # compile + overflow check
     assert int(overflow) == 0
     it = min(iters, 5) if n >= 1024 else iters
-    dt = time_device_fn(run, iters=it)
+    dt_ev = time_device_fn(run, iters=it)
     base = BASELINE_TOTAL_MS.get(n)
     nomem = BASELINE_TOTAL_NOMEM_MS.get(n)
-    print(f"# vox_total n={n} faces={mesh.num_faces} total={dt*1e3:.2f}ms "
-          f"events={pipe.num_events} batches={pipe.num_batches} "
-          f"build={build_s:.1f}s vs_ref_total="
-          f"{(base / (dt*1e3)) if base else -1:.2f}x vs_ref_compute="
-          f"{(nomem / (dt*1e3)) if nomem else -1:.2f}x", file=sys.stderr)
+    print(f"# vox_total_event n={n} faces={mesh.num_faces} "
+          f"total={dt_ev*1e3:.2f}ms events={pipe.num_events} "
+          f"batches={pipe.num_batches} build={build_s:.1f}s",
+          file=sys.stderr)
+
+    dt = dt_ev
+    label = "event"
+    if n <= 2048 and os.environ.get("BENCH_SLOT", "1") == "1":
+        from voxtpu.ops.vox_slots import SlotVoxPipeline
+
+        t0 = _t.time()
+        spipe = SlotVoxPipeline(mesh, spec)
+        sbuild_s = _t.time() - t0
+        swords = spipe.words()  # compile
+        xor_pop = int(_count_xor_pop(words, swords))
+        dt_slot = time_device_fn(spipe.words, iters=it)
+        print(f"# vox_total_slot n={n} faces={mesh.num_faces} "
+              f"total={dt_slot*1e3:.2f}ms slots={spipe.num_slots} "
+              f"batches={spipe.num_batches} build={sbuild_s:.1f}s "
+              f"xor_vs_event={xor_pop}", file=sys.stderr)
+        if xor_pop == 0:
+            dt, label = dt_slot, "slot"
+        else:  # never expected; keep the verified pipeline's number
+            print(f"# WARNING slot/event mismatch ({xor_pop} voxels); "
+                  "reporting the event total", file=sys.stderr)
+
+    print(f"# vox_total n={n} pipeline={label} total={dt*1e3:.2f}ms "
+          f"vs_ref_total={(base / (dt*1e3)) if base else -1:.2f}x "
+          f"vs_ref_compute={(nomem / (dt*1e3)) if nomem else -1:.2f}x",
+          file=sys.stderr)
     if headline:
         print(json.dumps({
             "metric": f"vox_total_ms_{n}c_{mesh.num_faces}f",
@@ -279,6 +315,19 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
             "vs_baseline": round(base / (dt * 1e3), 3) if base else -1,
         }))
     return dt
+
+
+@jax.jit
+def _count_xor_pop(a, b):
+    """Device-side popcount of the xor of two packed grids (tiny D2H)."""
+    import jax.numpy as jnp
+
+    from voxtpu.grids.voxel_grid import _popcount32
+
+    # int32 is exact: popcount <= N^3 <= 2^30 < 2^31 for N <= 1024 and
+    # the slot path caps at 2048^3 (2^33 bits, but xor counts that large
+    # would mean a completely broken kernel — the check is a zero test).
+    return jnp.sum(_popcount32(jnp.bitwise_xor(a, b)), dtype=jnp.int32)
 
 
 def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:

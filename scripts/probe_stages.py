@@ -76,7 +76,27 @@ def main():
     t("emit_only      ", emit_only, windows=pipe.windows, n=n)
     t("emit+events    ", emit_events, windows=pipe.windows, n=n, tc=pipe.tc)
     t("full total     ", _total_jit, windows=pipe.windows, n=n, tc=pipe.tc,
-      tb_sub=pipe.tb_sub, b_max=pipe.b_max)
+      tb_sub=pipe.tb_sub, b_max=pipe.b_max, cap_f=pipe.cap_f)
+
+    # Static-slot pipeline (vox_slots): pre-pass alone, then its total.
+    from voxtpu.ops.vox_slots import SlotVoxPipeline, _slot_emit
+
+    t0 = time.time()
+    spipe = SlotVoxPipeline(mesh, spec)
+    print(f"# slot pipeline: slots={spipe.num_slots} "
+          f"batches={spipe.num_batches} build={time.time()-t0:.1f}s",
+          flush=True)
+    sargs = (spipe.rows, spipe.local, spipe.batch_tile)
+
+    def t2(label, fn, *a, **kw):
+        out = fn(*a, **kw)
+        jax.block_until_ready(out)
+        dt = time_device_fn(lambda *x: fn(*x, **kw), *a, iters=iters)
+        print(f"{label}: {dt*1e3:.2f} ms", flush=True)
+
+    t2("slot_emit      ", _slot_emit, spipe.rows, spipe.local,
+       spipe.batch_tile, origin, vs, n=n, tc=spipe.tc)
+    t2("slot_total     ", lambda *a: spipe.words())
 
 
 if __name__ == "__main__":

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 TPU measurement battery. Run in ONE session so the compile
+# cache stays warm; do NOT pipe the output through grep/filters (block
+# buffering hides everything until exit — CLAUDE.md gotcha). Typical:
+#
+#   bash scripts/tpu_battery_r3.sh 2>&1 | tee /tmp/battery_r3.log
+#
+cd "$(dirname "$0")/.." || exit 1
+set -x
+
+# 1. Hardware smoke gate (now incl. slot-total + seg-engine checks).
+timeout 2400 python scripts/tpu_smoke.py
+
+# 2. Vox total attribution @512^3: event pipeline stages vs slot path.
+timeout 2400 env PROBE_N=512 PROBE_FACES=1348128 PROBE_ITERS=10 \
+    python scripts/probe_stages.py
+
+# 3. Headline bench (kernel Gvox/s + both totals) @512^3 and @1024^3.
+timeout 2400 env BENCH_N=512 BENCH_ITERS=20 python bench.py
+timeout 3000 env BENCH_N=1024 BENCH_ITERS=10 python bench.py
+
+# 4. Segmented soft engine at reference scale (first hardware numbers).
+timeout 2400 env PROBE_SEG=1 PROBE_N=256 PROBE_FACES=1348128 \
+    python scripts/probe_soft.py
+timeout 3000 env PROBE_SEG=1 PROBE_N=512 PROBE_FACES=1348128 \
+    python scripts/probe_soft.py
