@@ -15,9 +15,11 @@ timeout 2400 python scripts/tpu_smoke.py
 timeout 2400 env PROBE_N=512 PROBE_FACES=1348128 PROBE_ITERS=10 \
     python scripts/probe_stages.py
 
-# 3. Headline bench (kernel Gvox/s + both totals) @512^3 and @1024^3.
+# 3. Headline bench (kernel Gvox/s + both totals) @512^3 and @1024^3,
+#    then the totals alone @2048^3 (ref: 959.97 total / 43.45 compute).
 timeout 2400 env BENCH_N=512 BENCH_ITERS=20 python bench.py
 timeout 3000 env BENCH_N=1024 BENCH_ITERS=10 python bench.py
+timeout 3600 env BENCH_N=2048 BENCH_ITERS=5 BENCH_OP=voxtotal python bench.py
 
 # 4. Segmented soft engine at reference scale (first hardware numbers).
 timeout 2400 env PROBE_SEG=1 PROBE_N=256 PROBE_FACES=1348128 \
