@@ -274,6 +274,15 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
     words, overflow = run()  # compile + overflow check
     assert int(overflow) == 0
     it = min(iters, 5) if n >= 1024 else iters
+    if n >= 4096:
+        # The timer queues 1+iters async executions; at 8.6 GB of packed
+        # output each that alone exceeds HBM (BENCH_NOTES round 2).
+        # Return a scalar-sized slice so finished executions release
+        # their buffers (probe_we.py's PROBE_SLICE pattern); the full
+        # grid is still computed every call.
+        def run(_f=run):
+            w, _ = _f()
+            return w[:1, :1, :1]
     dt_ev = time_device_fn(run, iters=it)
     base = BASELINE_TOTAL_MS.get(n)
     nomem = BASELINE_TOTAL_NOMEM_MS.get(n)
