@@ -198,10 +198,14 @@ def main() -> int:
     dt = time_device_fn(run, *args, iters=iters)
     gvox = n**3 / dt / 1e9
 
+    # MXU fraction only for the word-event kernel: _vox_mxu_util models
+    # its 5-matmul shape, which misreports the suffix/xla formulations.
+    mxu = (f" mxu_util={_vox_mxu_util(plan, n, dt):.1%}"
+           if backend == "pallas_we" else "")
     print(
         f"# backend={backend} n={n} faces={mesh.num_faces} "
         f"fragments={getattr(plan, 'num_fragments', -1)} prep={prep_s:.1f}s "
-        f"kernel={dt * 1e3:.3f}ms mxu_util={_vox_mxu_util(plan, n, dt):.1%}",
+        f"kernel={dt * 1e3:.3f}ms{mxu}",
         file=sys.stderr,
     )
     if backend == "pallas_we" and os.environ.get("BENCH_TOTAL", "1") == "1":
@@ -283,6 +287,8 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
         def run(_f=run):
             w, _ = _f()
             return w[:1, :1, :1]
+
+        del words  # the compile call's 8.6 GB output must not stay live
     dt_ev = time_device_fn(run, iters=it)
     base = BASELINE_TOTAL_MS.get(n)
     nomem = BASELINE_TOTAL_NOMEM_MS.get(n)

@@ -98,6 +98,28 @@ def test_word_event_matches_xla_bunny(bunny_mesh):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_word_event_nonpow2_grid(sphere_mesh):
+    """N = 96: num_tiles (72) is not divisible by the lane-limit group
+    (42), so `_group_factor` must round down to a divisor (36) — the
+    round-3 lane packing crashed here until it did (code-review find)."""
+    from voxtpu.ops.vox_pallas_we import voxelize_pallas_we
+
+    spec = GridSpec.fit(sphere_mesh.coords, 96)
+    ref = np.asarray(voxelize(sphere_mesh, spec, backend="xla").words)
+    got = np.asarray(voxelize_pallas_we(sphere_mesh, spec).words)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_word_event_rejects_huge_n(sphere_mesh):
+    """The packed uint32 sort key cell * num_words + word aliases past
+    N = 4096; the plan must refuse rather than corrupt silently."""
+    from voxtpu.ops.vox_pallas_we import WordEventVoxPlan
+
+    spec = GridSpec(n=8192, origin=(0, 0, 0), voxel_size=0.001)
+    with pytest.raises(ValueError, match="4096"):
+        WordEventVoxPlan(sphere_mesh, spec)
+
+
 def test_word_event_empty_mesh():
     from voxtpu.mesh.mesh import Mesh
     from voxtpu.ops.vox_pallas_we import voxelize_pallas_we

@@ -65,3 +65,11 @@ def test_slot_pipeline_rejects_bad_n(bunny_mesh):
     spec = GridSpec(n=48, origin=(0.0, 0.0, 0.0), voxel_size=1.0)
     with pytest.raises(ValueError, match="N % 32"):
         SlotVoxPipeline(bunny_mesh, spec)
+
+
+def test_slot_pipeline_rejects_segmented_fill(bunny_mesh):
+    """Slots are grouped by tile only, so a seg < n fill would silently
+    drop fragments entering at x >= seg (code-review find): reject."""
+    spec = GridSpec(n=64, origin=(0.0, 0.0, 0.0), voxel_size=1.0)
+    with pytest.raises(ValueError, match="whole-axis"):
+        SlotVoxPipeline(bunny_mesh, spec, seg=32)

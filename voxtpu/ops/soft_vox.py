@@ -177,14 +177,9 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     # Same fine window ladder as the hard path (1,2,3,4,6,8,12,...):
     # with pad_window=1 most triangles land at W=3, which pure pow2
     # bucketing rounded to 16-cell windows — 44% wasted raster slots.
-    from voxtpu.ops.vox import _pad_granular
+    from voxtpu.ops.vox import _pad_granular, _window_classes
 
-    wmax = max(int(w.max(initial=1)), 1)
-    classes = [1, 2, 3]
-    c = 4
-    while classes[-1] < wmax:
-        classes += [c, c + c // 2]
-        c *= 2
+    classes = _window_classes(max(int(w.max(initial=1)), 1))
     lo = 0
     for wclass in classes:
         sel = (w > lo) & (w <= wclass)

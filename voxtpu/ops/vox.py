@@ -68,6 +68,19 @@ def _triangle_windows(mesh: Mesh, spec: GridSpec):
     return v0, v1, v2, start_y, start_z, w
 
 
+def _window_classes(wmax: int) -> list[int]:
+    """Window-class ladder 1,2,3,4,6,8,12,16,24,... (pow2 + 1.5*pow2),
+    covering [1, wmax]. Shared by the hard (`FragmentPlan`) and soft
+    (`make_soft_plan`) candidate builders — their candidate sets must
+    stay comparable, so the ladder lives in one place."""
+    classes = [1, 2, 3]
+    c = 4
+    while classes[-1] < wmax:
+        classes += [c, c + c // 2]
+        c *= 2
+    return classes
+
+
 class FragmentPlan:
     """Static, device-resident triangle buckets for one (mesh, grid) pair.
 
@@ -86,12 +99,7 @@ class FragmentPlan:
         # tiny W (1.35M-face bunny @512^3: 85% at W=2, 10% at W=3), so
         # the finer ladder cuts padded candidates ~1.6x vs pure pow2 —
         # sort/scan cost in the per-call total pipeline scales with it.
-        wmax = max(int(w.max(initial=1)), 1)
-        classes = [1, 2, 3]
-        c = 4
-        while classes[-1] < wmax:
-            classes += [c, c + c // 2]
-            c *= 2
+        classes = _window_classes(max(int(w.max(initial=1)), 1))
         lo = 0
         for wclass in classes:
             sel = (w > lo) & (w <= wclass)

@@ -135,8 +135,18 @@ def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
 
 
 def _group_factor(num_words: int, num_tiles: int) -> int:
-    """Sub-tiles packed per 128-lane output panel (1 at N >= 4096)."""
-    return max(1, min(_LANE_MIN // num_words, num_tiles))
+    """Sub-tiles packed per 128-lane output panel (1 at N >= 4096).
+
+    Must DIVIDE num_tiles: every output panel holds exactly g
+    consecutive sub-tiles (`_events_core`'s supertile decode and
+    `_run_we`'s final reshape assume it). At power-of-two N the
+    minimum is itself a power of two and divides; at other valid
+    grids it need not (N = 96: num_tiles = 72, lanes allow 42), so
+    round down to the largest divisor."""
+    g = max(1, min(_LANE_MIN // num_words, num_tiles))
+    while num_tiles % g:
+        g -= 1
+    return g
 
 
 @functools.partial(jax.jit,
@@ -396,6 +406,11 @@ class WordEventVoxPlan:
         n = spec.n
         if n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
+        if n > 4096:
+            raise ValueError(
+                f"word-event path caps at N = 4096 (got {n}): the packed "
+                "uint32 sort key cell * num_words + word reaches 2^32 "
+                "near N = 5184 and would silently alias")
         if tc <= 0 or (n * n) % tc != 0:
             raise ValueError(f"tc={tc} must divide N^2={n * n}")
         tb = tb_sub * TB_LANE
@@ -602,6 +617,10 @@ class DeviceVoxPipeline:
         n = spec.n
         if n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
+        if n > 4096:
+            raise ValueError(
+                f"word-event path caps at N = 4096 (got {n}); see "
+                "WordEventVoxPlan")
         self.spec = spec
         self.tc = tc
         self.tb_sub = tb_sub

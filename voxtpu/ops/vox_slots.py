@@ -129,11 +129,22 @@ class SlotVoxPipeline:
             raise ValueError("pallas vox requires N % 32 == 0")
         if tc <= 0 or (n * n) % tc != 0:
             raise ValueError(f"tc={tc} must divide N^2={n * n}")
+        if seg is not None and seg != n:
+            # The suffix kernel's segmented mode needs slots grouped by
+            # (tile, x-segment) with per-batch segment ids
+            # (`PallasVoxPlan` sorts by that key); the slot layout here
+            # groups by tile only, so seg < n would silently drop every
+            # fragment entering at x >= seg. Segmentation also measured
+            # slower at every probed size (BENCH_NOTES round 2) — the
+            # whole-axis fill is the supported configuration.
+            raise ValueError(
+                f"SlotVoxPipeline supports only whole-axis fill "
+                f"(seg=None or seg == n, got seg={seg})")
         tb = tb_sub * TB_LANE
         self.spec = spec
         self.tc = tc
         self.tb_sub = tb_sub
-        self.seg = n if seg is None else min(seg, n)
+        self.seg = n
         num_tiles = (n * n) // tc
         self.num_tiles = num_tiles
 
