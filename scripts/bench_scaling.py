@@ -75,7 +75,7 @@ def main() -> int:
         t_jfa = time_fn(lambda: jfa_sharded(occ, spec, dm), iters=args.iters)
 
         target = grid.to_dense().astype(np.float32)
-        init_fn, step_fn, _ = make_sharded_fit(soft_plan, target, dm)
+        init_fn, step_fn, _ = make_sharded_fit(soft_plan, dm)
         target_slab = jax.device_put(
             np.asarray(target), NamedSharding(dm, P("z", None, None))
         )

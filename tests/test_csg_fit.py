@@ -87,3 +87,46 @@ def test_csg_fit_step_improves(two_parts):
     l1 = float(metrics["loss"])
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0, f"loss did not improve: {l0} -> {l1}"
+
+
+def test_compose_rejects_length_mismatch(two_parts):
+    import jax.numpy as jnp
+    import pytest
+
+    from voxtpu.models.csg_fit import CSGFit, compose
+    from voxtpu.ops.vox import voxelize
+
+    sphere, d20, spec, parts = two_parts
+    with pytest.raises(ValueError, match="parts"):
+        compose([jnp.asarray(sphere.coords)], parts)
+    target = voxelize(sphere, spec).to_dense().astype(jnp.float32)
+    fit = CSGFit(parts, target)
+    with pytest.raises(ValueError, match="parts"):
+        fit.init([sphere.coords])
+
+
+def test_csg_fit_refreshes_drifted_plans(two_parts):
+    """Parts drifting past their pad window must trigger plan rebuilds
+    (code-review find: coverage eroded silently with fixed plans)."""
+    import jax.numpy as jnp
+
+    from voxtpu.models.csg_fit import CSGFit, CSGPart
+    from voxtpu.ops.soft_vox import make_soft_plan
+    from voxtpu.ops.vox import voxelize
+
+    sphere, d20, spec, _ = two_parts
+    # Fresh parts: refreshes replace part.plan and must not mutate the
+    # module-scoped fixture other tests read.
+    local = [
+        CSGPart(plan=make_soft_plan(sphere, spec), op="union"),
+        CSGPart(plan=make_soft_plan(d20, spec), op="union"),
+    ]
+    target = voxelize(sphere, spec).to_dense().astype(jnp.float32)
+    fit = CSGFit(local, target, refresh_every=0)
+    coords_list, opt_state = fit.init([sphere.coords, d20.coords])
+    # Displace part 0 far beyond the pad window; part 1 stays put.
+    moved = [coords_list[0] + 10.0 * spec.voxel_size, coords_list[1]]
+    assert fit.maybe_refresh_plans(moved) == 1
+    assert fit.refresh_count == 1
+    # The refreshed plan's coords now match; no further refresh.
+    assert fit.maybe_refresh_plans(moved) == 0

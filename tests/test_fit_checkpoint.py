@@ -65,3 +65,27 @@ def test_checkpoint_refreshes_stale_plan(sphere_mesh, tmp_path):
     before = fit2.refresh_count
     fit2.load_checkpoint(ckpt)
     assert fit2.refresh_count == before + 1
+
+
+def test_checkpoint_into_different_plan_refreshes(sphere_mesh, tmp_path):
+    """Resuming into a fit whose plan was built at DIFFERENT coordinates
+    must refresh even when the restored coords sit close to the
+    checkpoint's own plan (the guard compares against THIS fit's plan,
+    not the checkpoint's fingerprint — code-review find)."""
+    rng = np.random.default_rng(2)
+    coords_a = sphere_mesh.coords + rng.normal(
+        0, 0.005, sphere_mesh.coords.shape).astype(np.float32)
+    fit_a = _make_fit(sphere_mesh, coords_a)
+    state = fit_a.init(coords_a)
+    state, _ = fit_a.step(state)
+    ckpt = tmp_path / "cross.npz"
+    fit_a.save_checkpoint(ckpt, state)
+
+    # Plan built at materially different coordinates.
+    coords_b = coords_a + np.float32(0.3)
+    fit_b = _make_fit(sphere_mesh, coords_b)
+    before = fit_b.refresh_count
+    restored = fit_b.load_checkpoint(ckpt)
+    assert fit_b.refresh_count == before + 1
+    # After the refresh, the fit's plan coords track the restored state.
+    assert float(fit_b.drift_voxels(restored.coords)) == 0.0

@@ -196,3 +196,16 @@ def test_stepped_wide_caps_at_16384():
     occ = jnp.zeros((8, 8, 8), bool)
     with pytest.raises(ValueError, match="16384"):
         jfa_xla_stepped(occ, (0, 0, 0), 1.0, n=32768)
+
+
+def test_unknown_encoding_rejected():
+    """A typo'd encoding must raise, not fall through to the packed
+    branch (silent 10-bit field corruption at n > 1024 — review find)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from voxtpu.ops.jfa import jfa_xla
+
+    occ = jnp.zeros((32, 32, 32), bool)
+    with pytest.raises(ValueError, match="unknown encoding"):
+        jfa_xla(occ, (0.0, 0.0, 0.0), 1.0, n=32, encoding="wde")

@@ -54,7 +54,7 @@ def test_sharded_fit_step_improves(sphere_mesh):
     target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(jnp.float32)
     dmesh = _mesh(2, 4)
     plan = make_soft_plan(sphere_mesh, spec)
-    init_fn, step_fn, loss_fn = make_sharded_fit(plan, target, dmesh,
+    init_fn, step_fn, loss_fn = make_sharded_fit(plan, dmesh,
                                                  learning_rate=1e-3)
     target_slab = jax.device_put(target, NamedSharding(dmesh, P("z", None, None)))
     coords, opt_state = init_fn(sphere_mesh.coords)
@@ -78,7 +78,7 @@ def test_sharded_fit_matches_unsharded_loss(sphere_mesh):
     target = voxelize(sphere_mesh, spec, backend="xla").to_dense().astype(jnp.float32)
     dmesh = _mesh(2, 4)
     plan = make_soft_plan(sphere_mesh, spec)
-    _, _, loss_fn = make_sharded_fit(plan, target, dmesh)
+    _, _, loss_fn = make_sharded_fit(plan, dmesh)
     target_slab = jax.device_put(target, NamedSharding(dmesh, P("z", None, None)))
     sharded_loss = float(loss_fn(jnp.asarray(sphere_mesh.coords), target_slab))
 
@@ -133,3 +133,30 @@ def test_jfa_comm_volume_strided_vs_gathered(capsys):
           f"{total_after/2**30:.1f} GiB "
           f"({total_before/total_after:.1f}x less)")
     assert total_before / total_after > 2.0
+
+
+def test_sharded_jfa_rejects_non_pow2_z_axis():
+    """k >= slab strided fetches assume k is a whole slab multiple —
+    only true for power-of-two z-axis sizes (review find: dz=6 would
+    silently flood from the wrong slabs)."""
+    from voxtpu.parallel.sharded_jfa import jfa_sharded
+
+    n = 96
+    devices = np.asarray(jax.devices()[:6]).reshape(1, 6)
+    dmesh = Mesh(devices, ("d", "z"))
+    occ = jnp.zeros((n, n, n), bool)
+    spec = GridSpec(n=n, origin=(0.0, 0.0, 0.0), voxel_size=1.0)
+    with pytest.raises(ValueError, match="power of two"):
+        jfa_sharded(occ, spec, dmesh)
+
+
+def test_voxelize_rejects_mismatched_plan_spec(sphere_mesh):
+    """A plan built for a different GridSpec must be rejected (review
+    find: fragments would land in a silently wrong grid)."""
+    from voxtpu.ops.vox import FragmentPlan
+
+    spec_a = GridSpec.fit(sphere_mesh.coords, 32)
+    spec_b = GridSpec.fit(sphere_mesh.coords, 64)
+    plan = FragmentPlan(sphere_mesh, spec_a)
+    with pytest.raises(ValueError, match="plan was built"):
+        voxelize(sphere_mesh, spec_b, backend="xla", plan=plan)

@@ -37,7 +37,7 @@ def test_fused_sharded_loss_matches_unsharded(setup):
 
     mesh, spec, soft_plan, target, device_mesh, target_slab = setup
     init_fn, step_fn, loss_fn = make_sharded_fit_fused(
-        soft_plan, target, device_mesh)
+        soft_plan, device_mesh)
     coords, _ = init_fn(mesh.coords)
     l_sharded = float(loss_fn(coords, target_slab))
 
@@ -52,7 +52,7 @@ def test_fused_sharded_step_improves(setup):
 
     mesh, spec, soft_plan, target, device_mesh, target_slab = setup
     init_fn, step_fn, loss_fn = make_sharded_fit_fused(
-        soft_plan, target, device_mesh, learning_rate=5e-3)
+        soft_plan, device_mesh, learning_rate=5e-3)
     rng = np.random.default_rng(1)
     noisy = mesh.coords + rng.normal(0, 0.01, mesh.coords.shape).astype(
         np.float32)

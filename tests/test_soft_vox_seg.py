@@ -148,7 +148,7 @@ def test_seg_sharded_matches_unsharded(seg_setup):
         target, NamedSharding(device_mesh, P("z", None, None)))
 
     init_fn, step_fn, loss_fn, shard_plans = make_sharded_fit_seg(
-        sp, mesh.coords, target, device_mesh, learning_rate=5e-3)
+        sp, mesh.coords, device_mesh, learning_rate=5e-3)
     assert len(shard_plans) == 8
     assert all(p.xhit_drift_vox(mesh.coords) == 0.0 for p in shard_plans)
     coords, opt_state = init_fn(mesh.coords)

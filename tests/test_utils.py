@@ -72,3 +72,27 @@ def test_trace_degrades_gracefully(tmp_path):
     with trace(str(tmp_path / "tr")):
         y = jnp.arange(16.0).sum()
     assert float(y) == 120.0
+
+
+def test_profiling_scope_reuse_resets_pending():
+    """A reused scope instance (ContextDecorator / loop reuse) must not
+    accumulate observed values across entries (code-review find: the
+    pending list pinned every past iteration's device buffers)."""
+    from voxtpu.utils.profiling import ProfilingScope
+
+    p = ProfilingScope("Reuse")
+    import jax.numpy as jnp
+
+    for _ in range(3):
+        with p:
+            p.observe(jnp.ones((4,)))
+        assert len(p._pending) == 1  # only this entry's value
+
+
+def test_time_device_fn_rejects_zero_warmup():
+    import pytest
+
+    from voxtpu.utils.timing import time_device_fn
+
+    with pytest.raises(ValueError, match="warmup"):
+        time_device_fn(lambda: None, warmup=0)

@@ -168,11 +168,15 @@ def _run_pipeline(args, filenames) -> int:
             if i > 0 or benchmark:
                 other = grids[i] if not benchmark else bm_grid
                 if op != "void":
+                    # reference -> NumPy oracle CSG, native -> C++,
+                    # xla/pallas -> fused word ops (the documented
+                    # pallas->xla aliasing, csg.py): the profiled label
+                    # must name the backend that actually ran.
+                    csg_backend = (backend if backend in
+                                   ("native", "reference") else "xla")
                     with ProfilingScope(f"{vox_label.replace('Vox','CSG')}") as ps:
-                        grids[0] = csg(
-                            grids[0], other, op,
-                            backend="native" if backend == "native" else "xla",
-                        )
+                        grids[0] = csg(grids[0], other, op,
+                                       backend=csg_backend)
                         ps.observe(grids[0].words)
 
             if benchmark:
@@ -188,7 +192,7 @@ def _run_pipeline(args, filenames) -> int:
 
         if args.sdf:
             with ProfilingScope(f"{vox_label.replace('Vox','JFA')}") as ps:
-                sdf = jfa(grids[0], spec, backend=backend if backend != "reference" else "reference")
+                sdf = jfa(grids[0], spec, backend=backend)
                 ps.observe(sdf)
 
             if do_export:

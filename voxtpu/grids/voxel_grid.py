@@ -121,13 +121,17 @@ class VoxelGrid:
 
     def count_traced(self) -> jnp.ndarray:
         """Traceable set-voxel count as a float32 scalar (usable under
-        `jax.jit`, unlike :meth:`count`). Exact while the total fits
-        float32's 2^24 integer range per accumulation step: per-plane
-        int32 popcount sums are exact for any N, and their float32 sum
-        is exact up to ~16.7M-voxel planes (N <= 4096)."""
-        per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
-                            dtype=jnp.int32)
-        return jnp.sum(per_plane.astype(jnp.float32))
+        `jax.jit`, unlike :meth:`count`).
+
+        Accumulated in int32 (exact up to 2^31 - 1 set voxels, i.e. any
+        N <= 1024 grid and all but near-full larger ones) and converted
+        once at the end — the single conversion rounds totals above
+        2^24 by at most 2^-24 relative, but never accumulates error the
+        way a float32 running sum would. For totals that may exceed
+        2^31 (near-full N >= 2048 grids), use the host-side
+        :meth:`count`."""
+        total = jnp.sum(_popcount32(self.words), dtype=jnp.int32)
+        return total.astype(jnp.float32)
 
     def spec(self) -> GridSpec:
         return GridSpec(

@@ -46,6 +46,7 @@ class Mesh:
             self.faces_normals = np.zeros((0, 3), np.int32)
         self.coords = np.asarray(self.coords, np.float32).reshape(-1, 3)
         self.normals = np.asarray(self.normals, np.float32).reshape(-1, 3)
+        self.colors = np.asarray(self.colors, np.uint8).reshape(-1, 4)
         self.faces = np.asarray(self.faces, np.int32).reshape(-1, 3)
         self.faces_normals = np.asarray(self.faces_normals, np.int32).reshape(-1, 3)
 
@@ -66,6 +67,11 @@ class Mesh:
         if self.num_faces:
             if self.faces.min() < 0 or self.faces.max() >= self.num_vertices:
                 raise ValueError("face indices out of range")
+            # faces_normals is NOT bounds-checked: the importer defaults
+            # ni = vi for faces without vn references (a mixed-form OBJ
+            # then legitimately carries indices past len(normals));
+            # consumers of real normals must check against their own
+            # normal table.
 
 
 def face_normals(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:

@@ -116,7 +116,10 @@ def import_mesh(filename: str | os.PathLike, use_native: bool = True) -> Mesh:
         # misalign all indices); normalize to whitespace-separated ints.
         forms = {tok.count("/") * 10 + ("//" in tok)
                  for ln in f_lines for tok in ln.split()}
-        uniform = len(forms) == 1
+        # Token-less first line (e.g. "f" + trailing spaces) has no form
+        # to probe — route through the per-line path, which reports the
+        # offending line number instead of an IndexError here.
+        uniform = len(forms) == 1 and bool(f_lines[0].split())
         vals = None
         if uniform:
             text = " \n".join(f_lines)

@@ -151,11 +151,14 @@ class VoxelFit:
         else:
             raise ValueError(f"unknown engine {self.engine!r}")
 
+        # The target grid rides in aux too: closure capture would embed
+        # the full N^3 float32 array as an HLO constant and re-embed it
+        # on every plan-refresh recompile.
         def loss(coords, *a):
-            return self._loss_fn(fwd(coords, *a), self.target)
+            return self._loss_fn(fwd(coords, *a[:-1]), a[-1])
 
-        self._loss_aux = aux
-        self._loss = lambda c: loss(c, *aux)
+        self._loss_aux = aux + (self.target,)
+        self._loss = lambda c: loss(c, *self._loss_aux)
         self._adam_step = make_adam_step(loss, self.optimizer)
 
     def drift_voxels(self, coords) -> jnp.ndarray:
@@ -250,14 +253,23 @@ class VoxelFit:
         treedef = jax.tree_util.tree_structure(template)
         coords, opt_state, step = jax.tree_util.tree_unflatten(
             treedef, leaves)
-        self._plan_coords = jnp.asarray(data["plan_coords"])
+        saved_pc = jnp.asarray(data["plan_coords"])
         seen, refreshed = (int(x) for x in data["bookkeeping"])
         self._steps_seen = seen
         self.refresh_count = refreshed
         state = FitState(coords=coords, opt_state=opt_state, step=step)
-        # Stale-plan guard: the checkpoint may be resumed against a plan
-        # built from different coordinates.
-        if float(self.drift_voxels(coords)) > self.drift_limit_vox:
+        # Stale-plan guard: drift must be measured against THIS fit's
+        # plan (self._plan_coords describes self.plan — overwriting it
+        # with the checkpoint's fingerprint first would compare the
+        # restored coords against a plan this fit doesn't hold). Refresh
+        # when the checkpoint was taken under a different plan, or when
+        # the restored coords exceed this plan's coverage.
+        if self._plan_coords is None:
+            self._plan_coords = saved_pc
+        same_plan = (self._plan_coords.shape == saved_pc.shape
+                     and bool(jnp.all(self._plan_coords == saved_pc)))
+        if (not same_plan
+                or float(self.drift_voxels(coords)) > self.drift_limit_vox):
             self.maybe_refresh_plan(state, force=True)
         return state
 

@@ -258,6 +258,11 @@ def jfa_xla(occ, origin, voxel_size, *, n: int, encoding: str = "auto"):
     """
     if encoding == "auto":
         encoding = "packed" if n <= 1024 else "wide"
+    if encoding not in ("packed", "wide"):
+        # A typo falling through to the packed branch would silently
+        # corrupt seeds at n > 1024 (10-bit field collisions).
+        raise ValueError(f"unknown encoding {encoding!r}; "
+                         "use 'packed', 'wide' or 'auto'")
     if encoding == "packed" and n > 1024:
         raise ValueError("packed seeds are 10-bit fields (N <= 1024); "
                          "use encoding='wide' or 'auto'")

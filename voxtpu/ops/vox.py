@@ -292,6 +292,12 @@ def voxelize(mesh: Mesh, spec: GridSpec, backend: str = "xla",
     (NumPy oracle), or "native" (C++/OpenMP).
     """
     spec.num_words  # packed output: raises early unless N % 32 == 0
+    if plan is not None and plan.spec != spec:
+        # Fragments are emitted in plan.spec's coordinates while the
+        # resolve and output grid use `spec` — a mismatch would place
+        # the mesh in a silently wrong grid.
+        raise ValueError(
+            f"plan was built for {plan.spec}, not the requested {spec}")
     if backend == "reference":
         from voxtpu.ops.reference import voxelize_ref
 

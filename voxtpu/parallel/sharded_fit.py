@@ -56,7 +56,7 @@ def _split_soft_buckets(plan, n_shards: int):
     return out
 
 
-def make_sharded_fit(plan, target_occ, device_mesh: Mesh,
+def make_sharded_fit(plan, device_mesh: Mesh,
                      learning_rate: float = 1e-2,
                      tau_edge_frac: float = 0.25, tau_x_frac: float = 0.5):
     """Build (init_fn, step_fn, loss_fn) for vertex fitting on a mesh.
@@ -126,8 +126,12 @@ def make_sharded_fit(plan, target_occ, device_mesh: Mesh,
 
     optimizer = optax.adam(learning_rate)
 
+    _loss_jit = jax.jit(
+        lambda coords, target_slab: sharded_loss(
+            coords, target_slab, *shard_args))
+
     def loss_fn(coords, target_slab):
-        return sharded_loss(coords, target_slab, *shard_args)
+        return _loss_jit(coords, target_slab)
 
     @jax.jit
     def step_fn(coords, opt_state, target_slab):

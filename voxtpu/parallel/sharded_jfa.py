@@ -202,6 +202,9 @@ def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z",
     n = spec.n
     if encoding == "auto":
         encoding = "packed" if n <= 1024 else "wide"
+    if encoding not in ("packed", "wide"):
+        raise ValueError(f"unknown encoding {encoding!r}; "
+                         "use 'packed', 'wide' or 'auto'")
     if encoding == "packed" and n > 1024:
         raise ValueError("packed seeds are 10-bit fields (N <= 1024); "
                          "use encoding='wide' or 'auto'")
@@ -212,6 +215,14 @@ def jfa_sharded(occ, spec: GridSpec, device_mesh: Mesh, axis_name: str = "z",
     dz = device_mesh.shape[axis_name]
     if n % dz != 0:
         raise ValueError(f"N={n} must divide by z axis {dz}")
+    if dz & (dz - 1):
+        # The strided k >= slab exchange fetches the slabs at idx -/+
+        # k/slab, which is exact only when every such k is a whole slab
+        # multiple — true iff dz is a power of two (k = n/2^j, slab =
+        # n/dz). A dz like 6 would silently floor k//slab and flood from
+        # the wrong planes.
+        raise ValueError(f"z-axis device count must be a power of two "
+                         f"(got {dz})")
     slab = n // dz
 
     def fn(occ_slab):

@@ -114,7 +114,7 @@ def build_fused_shard_layouts(soft_plan, n_shards: int, tc: int = 128,
     return stacked, meta
 
 
-def make_sharded_fit_fused(soft_plan, target_occ, device_mesh: Mesh,
+def make_sharded_fit_fused(soft_plan, device_mesh: Mesh,
                            learning_rate: float = 1e-2,
                            tau_edge_frac: float = 0.25,
                            tau_x_frac: float = 0.5,
@@ -200,8 +200,11 @@ def make_sharded_fit_fused(soft_plan, target_occ, device_mesh: Mesh,
         coords = optax.apply_updates(coords, updates)
         return coords, opt_state, value
 
+    _loss_jit = jax.jit(_loss)  # hoisted: a per-call jax.jit(...) would
+    # retrace+recompile the whole sharded program on every invocation
+
     def loss_fn(coords, target_slab):
-        return jax.jit(_loss)(coords, target_slab, aux)
+        return _loss_jit(coords, target_slab, aux)
 
     def step_fn(coords, opt_state, target_slab):
         return _step(coords, opt_state, target_slab, aux)

@@ -251,7 +251,7 @@ def build_sharded_layouts(soft_plan, n_shards: int, tc: int = 128,
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_fit_pallas(soft_plan, target_occ, device_mesh: Mesh,
+def make_sharded_fit_pallas(soft_plan, device_mesh: Mesh,
                             learning_rate: float = 1e-2,
                             tau_edge_frac: float = 0.25,
                             tau_x_frac: float = 0.5,
@@ -327,9 +327,12 @@ def make_sharded_fit_pallas(soft_plan, target_occ, device_mesh: Mesh,
 
     optimizer = optax.adam(learning_rate)
 
+    _loss_jit = jax.jit(
+        lambda coords, target_slab: sharded_loss(
+            coords, target_slab, *layout_args, *shard_bucket_args))
+
     def loss_fn(coords, target_slab):
-        return sharded_loss(coords, target_slab, *layout_args,
-                            *shard_bucket_args)
+        return _loss_jit(coords, target_slab)
 
     @jax.jit
     def step_fn(coords, opt_state, target_slab):

@@ -70,7 +70,20 @@ def _resolve_slab(cells, x_entry, *, n: int, slab: int):
     bf = x32 % WORD_BITS
     # (cell, x) sort order == (cell, wf, bf) order, so the composite
     # key is sorted. Out-of-slab cells give keys < 0 or >= count*W.
-    cw = (cells - base) * num_words + wf
+    # Clip the cell offset to [-1, slab*n] first: without it the
+    # sentinel cell n*n makes the key reach n^2 * num_words = 2^31 at
+    # N = 4096 and wrap to INT32_MIN (garbage searchsorted bounds).
+    # Clipping is monotone, keeps in-slab keys exact, and parks every
+    # out-of-slab fragment strictly outside the probe range [0, lim]
+    # (clipped groups are mutually unordered by wf, but every member
+    # sits on one side of all probes, so the binary search's predicate
+    # stays monotone).
+    if slab * n * num_words + num_words > 2**31 - 1:
+        raise ValueError(
+            f"slab cell keys exceed int32 at N={n} with this z-axis "
+            f"size; shard over more devices (slab*N*N/32 must stay "
+            f"below 2^31)")
+    cw = jnp.clip(cells - base, -1, slab * n) * num_words + wf
     probes = jnp.arange(slab * n * num_words + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(cw, probes).astype(jnp.int32)
 

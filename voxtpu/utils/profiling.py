@@ -53,6 +53,10 @@ class ProfilingScope(ContextDecorator):
         return value
 
     def __enter__(self):
+        # Reset per entry: a reused instance (ContextDecorator calls, or
+        # one scope object driven in a loop) must not fence — or pin the
+        # device buffers of — previous entries' observed values.
+        self._pending = []
         self._start = time.perf_counter()
         return self
 

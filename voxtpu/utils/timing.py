@@ -37,7 +37,16 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
     stall during the BASE run deflates it below the true kernel time
     (observed: the same cached kernel measuring 0.56 vs 1.2 ms across
     sessions), so neither min nor max is trustworthy.
+
+    `warmup` is the total number of unmeasured pre-runs and must be
+    >= 1: the differential method measures STEADY-STATE cost and cannot
+    produce a compile-inclusive figure (time the first call directly
+    for that), so warmup=0 is rejected rather than silently honored.
     """
+    if warmup < 1:
+        raise ValueError(
+            "time_device_fn measures steady state; warmup must be >= 1 "
+            "(wrap the first call in time.perf_counter for cold cost)")
     out = fn(*args)
     for _ in range(max(0, warmup - 1)):
         out = fn(*args)
