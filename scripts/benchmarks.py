@@ -66,7 +66,7 @@ def main() -> int:
     args = ap.parse_args()
 
     out_root = Path(args.output)
-    out_root.mkdir(exist_ok=True)
+    out_root.mkdir(parents=True, exist_ok=True)
 
     if args.meshes:
         meshes = [Path(m) for m in args.meshes]
@@ -104,7 +104,7 @@ def main() -> int:
         for main, by_size in all_data.items():
             cols = sorted({k for its in by_size.values() for it in its for k in it})
             out_dir = out_root / mesh.stem
-            out_dir.mkdir(exist_ok=True)
+            out_dir.mkdir(parents=True, exist_ok=True)
             with open(out_dir / f"{mesh.stem}_{main}.csv", "w", newline="") as fh:
                 w = csv.writer(fh)
                 w.writerow(["size"] + cols)

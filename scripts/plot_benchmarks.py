@@ -32,7 +32,9 @@ def load_csv(path: Path):
 
 
 def robust_mean(vals):
-    """Mean excluding the max (drops the warm-up iteration)."""
+    """Mean excluding the max sample, per column independently —
+    the reference's exact semantics (plot_comparison.py:41-45); the
+    dropped sample is usually but not necessarily the warm-up."""
     vals = [v for v in vals if np.isfinite(v)]
     if len(vals) > 2:
         vals = sorted(vals)[:-1]
@@ -44,7 +46,9 @@ def main() -> int:
     ap.add_argument("folder", help="per-mesh CSV folder from benchmarks.py")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    folder = Path(args.folder)
+    # resolve(): running from inside the folder ('.') would make
+    # folder.name empty and corrupt the algo-label strip below.
+    folder = Path(args.folder).resolve()
     out = Path(args.out or folder / "plots")
     out.mkdir(parents=True, exist_ok=True)
 

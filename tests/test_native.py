@@ -68,3 +68,41 @@ def test_native_csg_matches_oracle(op):
     ref = {"union": w1 | w2, "intersection": w1 & w2,
            "difference": w1 & ~w2}[op]
     np.testing.assert_array_equal(got, ref)
+
+
+def test_native_rejects_non_triangular_faces(tmp_path):
+    """Quads/short faces: the native parser must hand off (rc=-2) so the
+    Python spec's ValueError surfaces, never silently truncate (review
+    find: half of every quad vanished with g++ present)."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    quad = tmp_path / "quad.obj"
+    quad.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    with pytest.raises(ValueError, match="4 vertices"):
+        import_mesh(quad)
+    short = tmp_path / "short.obj"
+    short.write_text("v 0 0 0\nv 1 0 0\nf 1 2\n")
+    with pytest.raises(ValueError, match="2 vertices"):
+        import_mesh(short)
+
+
+def test_native_mixed_color_rows_drop_colors(tmp_path):
+    """A file mixing plain and colored vertex rows carries no colors on
+    EITHER path (the spec's ragged-block rule)."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "mix.obj"
+    p.write_text("v 0 0 0 1 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    assert import_mesh(p).colors.shape[0] == 0
+    assert import_mesh(p, use_native=False).colors.shape[0] == 0
+
+
+def test_native_import_validates_indices(tmp_path):
+    """Out-of-range face indices raise on the native path too (review
+    find: they previously flowed into raw C++ pointer arithmetic)."""
+    from voxtpu.mesh.obj_io import import_mesh
+
+    p = tmp_path / "oor.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 9\n")
+    with pytest.raises(ValueError, match="out of range"):
+        import_mesh(p)

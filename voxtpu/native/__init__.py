@@ -92,8 +92,13 @@ def native_import_mesh(path: str):
             colors = np.zeros((0, 4), np.uint8)
     finally:
         lib.vox_free_mesh(ctypes.byref(out))
-    return Mesh(name=path, coords=coords, normals=normals, colors=colors,
+    mesh = Mesh(name=path, coords=coords, normals=normals, colors=colors,
                 faces=faces, faces_normals=fnormals)
+    # Same guard as the pure-Python importer (obj_io): out-of-range
+    # (incl. OBJ-relative negative) indices must raise here, not
+    # segfault later inside the C++ voxelizer's pointer arithmetic.
+    mesh.validate()
+    return mesh
 
 
 def native_export_mesh(path: str, mesh) -> bool:
@@ -143,7 +148,7 @@ def native_voxelize(mesh, spec) -> np.ndarray:
     )
     if rc != 0:
         raise RuntimeError(f"vox_voxelize failed rc={rc}")
-    return occ.astype(bool)
+    return occ.view(np.bool_)  # C++ writes 0/1 bytes; view is copy-free
 
 
 def native_jfa(occ: np.ndarray, spec) -> np.ndarray:

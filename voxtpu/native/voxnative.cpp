@@ -60,6 +60,10 @@ int vox_import_obj(const char* path, VoxMesh* out) {
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
+  if (size < 0) {  // unseekable stream: -1 would heap-overflow below
+    fclose(f);
+    return -1;
+  }
   fseek(f, 0, SEEK_SET);
   std::vector<char> buf(size + 1);
   if (fread(buf.data(), 1, size, f) != (size_t)size) {
@@ -72,7 +76,11 @@ int vox_import_obj(const char* path, VoxMesh* out) {
   std::vector<float> coords, normals;
   std::vector<float> colors;
   std::vector<std::int32_t> faces, fnormals;
+  // Colors only count when EVERY vertex row carries r g b — the Python
+  // spec's ragged-block rule (obj_io._parse_float_block): a file mixing
+  // plain and colored rows has no per-vertex colors.
   bool any_color = false;
+  bool all_color = true;
 
   const char* p = buf.data();
   const char* end = buf.data() + size;
@@ -107,6 +115,7 @@ int vox_import_obj(const char* path, VoxMesh* out) {
         colors.push_back(1.f);
         colors.push_back(1.f);
         colors.push_back(1.f);
+        all_color = false;
       }
     } else if (line[0] == 'v' && line[1] == 'n' && line[2] == ' ') {
       const char* q = line + 3;
@@ -114,9 +123,22 @@ int vox_import_obj(const char* path, VoxMesh* out) {
       normals.push_back(parse_float(q));
       normals.push_back(parse_float(q));
     } else if (line[0] == 'f' && line[1] == ' ') {
+      // Exactly 3 vertex tokens per face — quads/ngons/short lines are
+      // a parse error (rc=-2), matching the Python spec's ValueError
+      // instead of silently truncating to the first triangle.
       const char* q = line + 2;
-      for (int i = 0; i < 3; ++i) {
-        long vi = parse_int(q);
+      const char* line_end = p;  // start of the next line
+      int ntok = 0;
+      while (true) {
+        while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r' ||
+                                *q == '\n'))
+          ++q;
+        if (q >= line_end || *q == '\n') break;
+        char* tok_end;
+        long vi = strtol(q, &tok_end, 10);
+        if (tok_end == q)  // non-numeric junk where an index belongs
+          return -2;
+        q = tok_end;
         long ni = vi;
         if (*q == '/') {
           ++q;
@@ -132,9 +154,13 @@ int vox_import_obj(const char* path, VoxMesh* out) {
             }
           }
         }
+        if (ntok >= 3)  // 4th vertex: non-triangular face
+          return -2;
         faces.push_back((std::int32_t)(vi - 1));
         fnormals.push_back((std::int32_t)(ni - 1));
+        ++ntok;
       }
+      if (ntok != 3) return -2;
     }
   }
 
@@ -145,13 +171,15 @@ int vox_import_obj(const char* path, VoxMesh* out) {
   out->num_normals = (std::int32_t)(normals.size() / 3);
   out->normals = (float*)malloc(normals.size() * sizeof(float));
   memcpy(out->normals, normals.data(), normals.size() * sizeof(float));
-  out->has_colors = any_color ? 1 : 0;
+  out->has_colors = (any_color && all_color) ? 1 : 0;
   out->colors = (std::uint8_t*)malloc((size_t)nv * 4);
   for (std::int32_t i = 0; i < nv; ++i) {
     for (int c = 0; c < 3; ++c) {
       float v = colors[(size_t)i * 3 + c] * 255.f;
       v = v < 0 ? 0 : (v > 255 ? 255 : v);
-      out->colors[(size_t)i * 4 + c] = (std::uint8_t)(v + 0.5f);
+      // nearbyintf = round-half-even, matching the spec's np.round
+      // quantization (126.5/255 -> 126 on both paths).
+      out->colors[(size_t)i * 4 + c] = (std::uint8_t)nearbyintf(v);
     }
     out->colors[(size_t)i * 4 + 3] = 255;
   }
