@@ -159,3 +159,51 @@ def test_drift_guard_manual_refresh(sphere_mesh):
                          step=state.step)
     assert fit.maybe_refresh_plan(state2)
     assert float(fit.drift_voxels(moved)) == 0.0
+
+
+def test_soft_voxelize_empty_mesh():
+    """Zero-face meshes return a zero grid (review find: the bucket
+    concatenate crashed while every sibling engine guarded it)."""
+    import jax.numpy as jnp
+
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
+
+    mesh = Mesh(name="empty", coords=np.zeros((0, 3), np.float32),
+                faces=np.zeros((0, 3), np.int32),
+                faces_normals=np.zeros((0, 3), np.int32))
+    spec = GridSpec(n=16, origin=(0.0, 0.0, 0.0), voxel_size=0.1)
+    occ = soft_voxelize(jnp.zeros((0, 3), jnp.float32),
+                        make_soft_plan(mesh, spec))
+    assert occ.shape == (16, 16, 16)
+    assert float(jnp.abs(occ).max()) == 0.0
+
+
+def test_odd_pad_covers_tight_low_side():
+    """pad_window=1's odd cell goes to the side with less base slack
+    (review find: always padding +y/+z left the low side with zero
+    guaranteed drift coverage)."""
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.ops.soft_vox import make_soft_plan
+
+    spec = GridSpec(n=16, origin=(0.0, 0.0, 0.0), voxel_size=1.0)
+    # Triangle with y in [4.1, 4.7]: base window is cell 4 only, whose
+    # center 4.5 sits 0.4 above min (low slack -0.4) vs 0.2 below max
+    # (high slack -0.2) -> the odd pad cell must shift start_y to 3.
+    tri = np.array([[1.0, 4.1, 4.1], [1.0, 4.7, 4.2], [1.0, 4.3, 4.7]],
+                   np.float32)
+    mesh = Mesh(name="t", coords=tri, faces=np.array([[0, 1, 2]], np.int32),
+                faces_normals=np.array([[0, 1, 2]], np.int32))
+    plan = make_soft_plan(mesh, spec, pad_window=1)
+    sy = int(np.asarray(plan.buckets[0][4])[0])
+    assert sy == 3, f"low-tight window not shifted down (start_y={sy})"
+    # Mirror case: y in [4.9, 5.3] (low slack +0.4, high slack +0.2:
+    # high side tighter) -> start stays at 4, pad extends high.
+    tri2 = tri + np.array([[0.0, 0.8, 0.8]], np.float32)
+    mesh2 = Mesh(name="t2", coords=tri2,
+                 faces=np.array([[0, 1, 2]], np.int32),
+                 faces_normals=np.array([[0, 1, 2]], np.int32))
+    plan2 = make_soft_plan(mesh2, spec, pad_window=1)
+    assert int(np.asarray(plan2.buckets[0][4])[0]) == 4

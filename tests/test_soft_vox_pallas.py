@@ -104,3 +104,17 @@ def test_gradcheck_finite_differences():
     assert abs(fd - analytic) <= 5e-2 * max(abs(fd), abs(analytic), 1e-4), (
         f"fd={fd} analytic={analytic}"
     )
+
+
+def test_soft_pallas_plan_rejects_hard_plan(sphere_mesh):
+    """A hard FragmentPlan (no face indices) must be rejected at build
+    time, not die with IndexError at call time (review find)."""
+    import pytest
+
+    from voxtpu.grids.voxel_grid import GridSpec
+    from voxtpu.ops.soft_vox_pallas import SoftPallasPlan
+    from voxtpu.ops.vox import FragmentPlan
+
+    spec = GridSpec.fit(sphere_mesh.coords, 32)
+    with pytest.raises(ValueError, match="make_soft_plan"):
+        SoftPallasPlan(FragmentPlan(sphere_mesh, spec))

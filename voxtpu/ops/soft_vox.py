@@ -24,7 +24,10 @@ Implementation: the same host-side window bucketing as the hard path
 (`voxtpu.ops.vox.FragmentPlan`), then a fragment -> (cell, X-profile)
 accumulation with `jax.ops.segment_sum` (differentiable; its VJP is a
 gather). O(fragments * N) work — intended for optimization-scale grids
-(N <= 256); `voxtpu.ops.soft_vox_pallas` is the fused scaling path.
+(N <= 256). Scaling paths, fastest first: `voxtpu.ops.soft_vox_seg`
+(x-panel engine, n >= 256), `voxtpu.ops.soft_vox_fused`
+(coefficient-table engine); `voxtpu.ops.soft_vox_pallas` is the
+superseded round-1 per-fragment engine, kept for comparison.
 
 Known non-smoothness (inherent to the winding formulation): a triangle
 whose X-facing flips (n_x crossing 0) flips the SIGN of its whole
@@ -49,7 +52,7 @@ from voxtpu.ops.vox import FragmentPlan, _edge_zy
 
 @functools.partial(jax.jit, static_argnames=("window", "n"))
 def _soft_fragments(v0, v1, v2, start_y, start_z, *, window: int, n: int,
-                    origin, voxel_size, tau_edge, tau_x):
+                    origin, voxel_size, tau_edge):
     """Per-bucket soft coverage: returns (cell, weight (F,), x_hit (F,))."""
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
@@ -135,11 +138,15 @@ def soft_voxelize(
             tri[:, 0], tri[:, 1], tri[:, 2], sy, sz,
             window=window, n=spec.n,
             origin=spec.origin, voxel_size=vs,
-            tau_edge=tau_e, tau_x=tau_x,
+            tau_edge=tau_e,
         )
         all_cells.append(cells)
         all_w.append(w)
         all_x.append(x)
+    if not all_cells:  # zero-face mesh: one inert sentinel fragment
+        all_cells = [jnp.full((1,), spec.n * spec.n, jnp.int32)]
+        all_w = [jnp.zeros((1,), jnp.float32)]
+        all_x = [jnp.zeros((1,), jnp.float32)]
     cells = jnp.concatenate(all_cells)
     w = jnp.concatenate(all_w)
     x = jnp.concatenate(all_x)
@@ -169,10 +176,36 @@ def make_soft_plan(mesh: Mesh, spec: GridSpec, pad_window: int = 1) -> FragmentP
     # by pad//2, and capping w at N would drop the grid's last rows for
     # full-span triangles (out-of-grid candidates are masked away by the
     # in_grid test in _soft_fragments, so over-wide windows are safe).
+    #
+    # Odd pads have one leftover cell after the symmetric pad//2 split;
+    # it goes, PER AXIS, to the side whose base window has less slack
+    # (the base floor/ceil gives each side between -0.5 and +0.5 cells
+    # of coverage beyond the bbox; always spending the odd cell on the
+    # high side left the low side with zero guaranteed drift coverage —
+    # code-review find). frac_low + frac_high < 1 <=> the low side is
+    # the tighter one.
     w_cap = spec.n + pad_window
     w = np.minimum(w + pad_window, w_cap)
-    start_y = np.maximum(start_y - pad_window // 2, -pad_window)
-    start_z = np.maximum(start_z - pad_window // 2, -pad_window)
+    shift_y = np.full(len(w), pad_window // 2, np.int64)
+    shift_z = shift_y.copy()
+    if pad_window % 2:
+        oy, oz = np.float32(spec.origin[1]), np.float32(spec.origin[2])
+        vs_np = np.float32(spec.voxel_size)
+
+        def _extra_low(lo, hi, o):
+            t_lo = (lo - o) / vs_np
+            t_hi = (hi - o) / vs_np
+            return ((t_lo - np.floor(t_lo)) + (t_hi - np.floor(t_hi))
+                    < 1.0)
+
+        ys = (v0[:, 1], v1[:, 1], v2[:, 1])
+        zs = (v0[:, 2], v1[:, 2], v2[:, 2])
+        shift_y += _extra_low(np.minimum(np.minimum(*ys[:2]), ys[2]),
+                              np.maximum(np.maximum(*ys[:2]), ys[2]), oy)
+        shift_z += _extra_low(np.minimum(np.minimum(*zs[:2]), zs[2]),
+                              np.maximum(np.maximum(*zs[:2]), zs[2]), oz)
+    start_y = np.maximum(start_y - shift_y, -pad_window)
+    start_z = np.maximum(start_z - shift_z, -pad_window)
     plan.buckets = []
     # Same fine window ladder as the hard path (1,2,3,4,6,8,12,...):
     # with pad_window=1 most triangles land at W=3, which pure pow2

@@ -68,9 +68,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TB_LANE = 128
-FLAG_FIRST = 1
-FLAG_LAST = 2
+# Shared with the hard suffix kernel whose `tile_batches`/`_cut_batches`
+# layouts these kernels consume — one definition, no drift.
+from voxtpu.ops.vox_pallas import FLAG_FIRST, FLAG_LAST, TB_LANE
+
 NATTR = 16
 MODES = ("exact8", "highest")
 

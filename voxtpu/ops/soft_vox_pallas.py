@@ -41,9 +41,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TB_LANE = 128
-FLAG_FIRST = 1
-FLAG_LAST = 2
+# Shared with the hard suffix kernel whose tile_batches() produces the
+# flags this module's kernels consume — one definition, no drift.
+from voxtpu.ops.vox_pallas import FLAG_FIRST, FLAG_LAST, TB_LANE
 
 
 def _fwd_kernel(n: int, tc: int, tb_sub: int):
@@ -129,10 +129,13 @@ def soft_accumulate_pallas(wb, xb, plan, prm):
 
 
 def _pallas_args(plan, prm):
+    # The layout arrays are pre-converted device arrays (plan __init__)
+    # so repeated fwd/bwd calls don't re-pay an H2D transfer each; prm
+    # is a tiny tuple, converted per call.
     return (
-        jnp.asarray(plan.batch_tile, jnp.int32),
-        jnp.asarray(plan.flags, jnp.int32),
-        jnp.asarray(plan.cells_b, jnp.int32),
+        plan.batch_tile_d,
+        plan.flags_d,
+        plan.cells_d,
         jnp.asarray(np.asarray(prm, np.float32)),
     )
 
@@ -234,7 +237,7 @@ def _permute_to_batches(w, x, plan):
 def _permute_fwd_impl(w, x, plan):
     num_pad = plan.rank_full.shape[0] - w.shape[0]
     zeros = jnp.zeros((num_pad,), jnp.float32)
-    rank = jnp.asarray(plan.rank_full)
+    rank = plan.rank_full_d
     _, ws, xs = jax.lax.sort(
         (rank, jnp.concatenate([w, zeros]), jnp.concatenate([x, zeros])),
         num_keys=1,
@@ -254,7 +257,7 @@ def _permute_bwd_rule(plan, res, g):
     total = plan.rank_full.shape[0]
     nslots = dwb.size
     pad = jnp.zeros((total - nslots,), jnp.float32)
-    p = jnp.asarray(plan.perm_fwd)  # P[j] = original index of sorted slot j
+    p = plan.perm_fwd_d  # P[j] = original index of sorted slot j
     _, dw_full, dx_full = jax.lax.sort(
         (p,
          jnp.concatenate([dwb.reshape(-1), pad]),
@@ -286,6 +289,12 @@ class SoftPallasPlan:
         n = spec.n
         if (n * n) % tc != 0:
             raise ValueError("n*n must divide tile cells")
+        if soft_plan.buckets and len(soft_plan.buckets[0]) <= 6:
+            # A hard FragmentPlan builds fine here (same bucket slots
+            # 0/4/5) but dies with a bare IndexError at call time.
+            raise ValueError(
+                "plan must be built with make_soft_plan (keep_faces) "
+                "for soft vox")
         self.spec = spec
         self.soft_plan = soft_plan
         self.tc = tc
@@ -371,6 +380,13 @@ class SoftPallasPlan:
         self.tile_mask = tile_mask
         self.num_batches = b
         self.num_fragments = valid
+        # Device copies made once (multi-MB at real mesh sizes; the
+        # traced paths must not re-transfer them per call).
+        self.batch_tile_d = jnp.asarray(self.batch_tile, jnp.int32)
+        self.flags_d = jnp.asarray(self.flags, jnp.int32)
+        self.cells_d = jnp.asarray(self.cells_b, jnp.int32)
+        self.rank_full_d = jnp.asarray(rank_full)
+        self.perm_fwd_d = jnp.asarray(self.perm_fwd)
 
 
 def soft_voxelize_pallas(coords, plan: SoftPallasPlan, *,
@@ -399,7 +415,7 @@ def soft_voxelize_pallas(coords, plan: SoftPallasPlan, *,
             tri[:, 0], tri[:, 1], tri[:, 2], sy, sz,
             window=window, n=spec.n,
             origin=spec.origin, voxel_size=vs,
-            tau_edge=tau_e, tau_x=tau_x,
+            tau_edge=tau_e,
         )
         all_w.append(w)
         all_x.append(x)

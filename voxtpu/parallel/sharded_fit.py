@@ -24,7 +24,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from voxtpu.grids.voxel_grid import GridSpec
 from voxtpu.ops.soft_vox import _accumulate, _soft_fragments
 
 
@@ -91,7 +90,7 @@ def make_sharded_fit(plan, device_mesh: Mesh,
             cells, w, x = _soft_fragments(
                 tri[:, 0], tri[:, 1], tri[:, 2], sy, sz,
                 window=window, n=n, origin=spec.origin, voxel_size=vs,
-                tau_edge=tau_e, tau_x=tau_x,
+                tau_edge=tau_e,
             )
             all_cells.append(cells)
             all_w.append(w)

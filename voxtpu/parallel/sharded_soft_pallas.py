@@ -292,7 +292,7 @@ def make_sharded_fit_pallas(soft_plan, device_mesh: Mesh,
             _, w, x = _soft_fragments(
                 tri[:, 0], tri[:, 1], tri[:, 2], sy, sz,
                 window=window, n=n, origin=spec.origin, voxel_size=vs,
-                tau_edge=tau_e, tau_x=tau_x,
+                tau_edge=tau_e,
             )
             all_w.append(w)
             all_x.append(x)

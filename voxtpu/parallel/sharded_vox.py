@@ -20,12 +20,10 @@ round-1 all-gather + replicated global sort (kept as
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from voxtpu.grids.voxel_grid import WORD_BITS, GridSpec, VoxelGrid
 from voxtpu.mesh.mesh import Mesh as TriMesh
