@@ -40,9 +40,11 @@ timeout 4800 python scripts/benchmarks.py \
     --meshes /tmp/bunny_10785024.obj --types 2 \
     --minsize 256 --maxsize 256 --no-sdf --niter 3 --output benchmarks
 
-# native + xla + reference-oracle columns at small N, standard meshes.
+# xla column at small N, standard meshes (native + reference-oracle
+# columns are host-side — they run without the tunnel and are refreshed
+# separately: `--types 0 3 --device cpu`).
 timeout 4800 python scripts/benchmarks.py \
-    --types 0 1 3 --minsize 32 --maxsize 128 --niter 3 \
+    --types 1 --minsize 32 --maxsize 128 --niter 3 \
     --output benchmarks
 
 # Regenerate plots from whatever CSVs now exist (per-mesh folders).
