@@ -63,6 +63,57 @@ def subdivide(coords: np.ndarray, faces: np.ndarray, times: int):
     return coords, faces
 
 
+def decimate_to(coords: np.ndarray, faces: np.ndarray, target: int):
+    """Reduce to EXACTLY `target` faces: vertex-clustering collapse to
+    just under the target, then longest-edge bisection back up
+    (`subdivide_to`'s exact-count trick in reverse). Matches the
+    reference's decimated benchmark bunnies (bunny_3510 ... bunny_28086,
+    `benchmarks_v2/`) in face count; the geometry is a coarse proxy (the
+    reference used an offline decimator it didn't ship), which is
+    sufficient for benchmarking — kernel cost tracks face/fragment
+    counts, not fine shape."""
+    if target >= faces.shape[0]:
+        raise ValueError(f"target {target} >= current {faces.shape[0]}")
+
+    def cluster(res: int):
+        lo = coords.min(axis=0)
+        span = max(float(np.ptp(coords, axis=0).max()), 1e-9)
+        cell = np.clip(((coords - lo) / span * res).astype(np.int64),
+                       0, res - 1)
+        key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        # Cluster representative = mean of member vertices.
+        sums = np.zeros((uniq.size, 3), np.float64)
+        np.add.at(sums, inv, coords)
+        cnt = np.bincount(inv, minlength=uniq.size)[:, None]
+        new_coords = (sums / cnt).astype(np.float32)
+        f = inv[faces]
+        keep = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+                & (f[:, 0] != f[:, 2]))
+        return new_coords, f[keep].astype(np.int32)
+
+    # Binary-search the clustering resolution for the largest face count
+    # still <= target (so bisection can top it up exactly).
+    lo_r, hi_r = 2, 2048
+    best = None
+    while lo_r <= hi_r:
+        mid = (lo_r + hi_r) // 2
+        c, f = cluster(mid)
+        if f.shape[0] <= target:
+            best = (c, f)
+            lo_r = mid + 1
+        else:
+            hi_r = mid - 1
+    if best is None or best[1].shape[0] == 0:
+        raise ValueError(f"cannot decimate to {target} faces")
+    c, f = best
+    if target - f.shape[0] > 2 * f.shape[0]:
+        raise ValueError(
+            f"decimation landed too far below target ({f.shape[0]} vs "
+            f"{target}); raise the resolution search range")
+    return subdivide_to(c, f, target)
+
+
 def subdivide_to(coords: np.ndarray, faces: np.ndarray, target: int):
     """Exact face-count control: full 1:4 subdivisions while they fit,
     then longest-edge bisection of the first (target - F) triangles.

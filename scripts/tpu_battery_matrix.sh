@@ -10,25 +10,40 @@
 cd "$(dirname "$0")/.." || exit 1
 set -x
 
-# One-time: materialize the subdivided benchmark meshes as OBJ files
-# (the CLI is file-driven; native parser reads the 10.8M-face file in
-# seconds). Skipped when already present.
+# One-time: materialize the reference's FULL 12-mesh bunny ladder
+# (`benchmarks_v2/`: bunny_3510 ... bunny_10785024) as OBJ files —
+# decimated rows via bench.decimate_to, larger rows via subdivide_to.
+# Skipped when already present.
 python - <<'EOF'
 import os
-from bench import subdivide_to
+from bench import decimate_to, subdivide_to
 from voxtpu.mesh.mesh import Mesh
 from voxtpu.mesh.obj_io import export_mesh, import_mesh
 
 base = import_mesh("/root/reference/assets/bunny.obj")
-for faces in (1348128, 10785024):
+LADDER = (3510, 7020, 14042, 28086, 168516, 337032, 674064, 1348128,
+          2696256, 5392128, 10785024)
+for faces in LADDER:
     path = f"/tmp/bunny_{faces}.obj"
     if os.path.exists(path):
         continue
-    c, f = subdivide_to(base.coords, base.faces, faces)
+    fn = decimate_to if faces < base.faces.shape[0] else subdivide_to
+    c, f = fn(base.coords, base.faces, faces)
     export_mesh(path, Mesh(name=f"bunny_{faces}", coords=c, faces=f,
                            faces_normals=f))
-    print("wrote", path)
+    print("wrote", path, f.shape[0])
 EOF
+
+# Face-scaling ladder: pallas vox+jfa+csg at 32-256 for every rung the
+# big-mesh sections below don't already cover (the kernel is
+# face-count-independent — this is the curve that shows it).
+timeout 7200 python scripts/benchmarks.py \
+    --meshes /tmp/bunny_3510.obj /tmp/bunny_7020.obj \
+             /tmp/bunny_14042.obj /tmp/bunny_28086.obj \
+             /tmp/bunny_168516.obj /tmp/bunny_337032.obj \
+             /tmp/bunny_674064.obj /tmp/bunny_2696256.obj \
+             /tmp/bunny_5392128.obj \
+    --types 2 --minsize 32 --maxsize 256 --niter 3 --output benchmarks
 
 # 1.35M-face mesh: pallas vox at 1024-2048 (SDF only to 512, as before).
 timeout 4800 python scripts/benchmarks.py \
