@@ -37,6 +37,41 @@ import numpy as np
 BASELINE_GVOX_S = 68.0  # 512^3 / 1.97 ms, BASELINE.md tiled vox proc
 
 
+def _default_backend() -> str:
+    """`jax.default_backend()` with bounded retry/backoff.
+
+    The tunneled TPU intermittently reports UNAVAILABLE (axon outage —
+    round 3's driver capture died here with a raw traceback). Retry a
+    few times; on persistent failure emit a machine-readable JSON error
+    line the driver can distinguish from a broken build, and exit 0.
+    """
+    tries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+    delay = 15.0
+    last: Exception | None = None
+    for attempt in range(tries):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            if "navailable" not in str(e) and "UNAVAILABLE" not in str(e):
+                raise
+            last = e
+            print(f"# backend init UNAVAILABLE "
+                  f"(attempt {attempt + 1}/{tries}); retry in {delay:.0f}s",
+                  file=sys.stderr)
+            try:  # drop the cached failure so the next attempt re-inits
+                from jax._src import xla_bridge as _xb
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+    detail = str(last).splitlines()[-1][:200] if last else ""
+    print(json.dumps({"error": "tpu_unavailable", "metric": "vox_total_ms",
+                      "value": None, "unit": "ms", "vs_baseline": None,
+                      "retries": tries, "detail": detail}))
+    raise SystemExit(0)
+
+
 def subdivide(coords: np.ndarray, faces: np.ndarray, times: int):
     """Midpoint 1:4 subdivision (to reach reference-scale face counts)."""
     for _ in range(times):
@@ -194,7 +229,7 @@ def main() -> int:
     mesh = Mesh(name="bunny_sub", coords=coords, faces=faces, faces_normals=faces)
     spec = GridSpec.fit(mesh.coords, n)
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _default_backend() == "tpu"
     backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "xla")
 
     if op == "voxtotal":
@@ -259,16 +294,32 @@ def main() -> int:
         f"kernel={dt * 1e3:.3f}ms{mxu}",
         file=sys.stderr,
     )
+    total = None
     if backend == "pallas_we" and os.environ.get("BENCH_TOTAL", "1") == "1":
-        _report_vox_total(mesh, spec, n, iters, headline=False)
-    out = {
-        "metric": f"tiled_vox_kernel_gvox_per_s_{n}c_{mesh.num_faces}f",
-        "value": round(gvox, 2),
-        "unit": "Gvox/s",
-        "vs_baseline": round(gvox / BASELINE_GVOX_S, 3),
-    }
-    if backend == "pallas_we":
-        out["roofline_mxu_frac"] = round(_vox_mxu_util(plan, n, dt), 3)
+        total = _report_vox_total(mesh, spec, n, iters, headline=False)
+    if total is not None:
+        # Headline = the END-TO-END total (the reference's whole
+        # VOX::Compute<TILED> scope, vox/tiled.cu:489-576 — the contested
+        # metric); the kernel throughput rides along as secondary keys.
+        dt_total, base = total
+        out = {
+            "metric": f"vox_total_ms_{n}c_{mesh.num_faces}f",
+            "value": round(dt_total * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": round(base / (dt_total * 1e3), 3) if base else -1,
+            "kernel_gvox_per_s": round(gvox, 2),
+            "kernel_vs_baseline": round(gvox / BASELINE_GVOX_S, 3),
+            "kernel_mxu_frac": round(_vox_mxu_util(plan, n, dt), 3),
+        }
+    else:
+        out = {
+            "metric": f"tiled_vox_kernel_gvox_per_s_{n}c_{mesh.num_faces}f",
+            "value": round(gvox, 2),
+            "unit": "Gvox/s",
+            "vs_baseline": round(gvox / BASELINE_GVOX_S, 3),
+        }
+        if backend == "pallas_we":
+            out["roofline_mxu_frac"] = round(_vox_mxu_util(plan, n, dt), 3)
     print(json.dumps(out))
     return 0
 
@@ -380,7 +431,7 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
             "unit": "ms",
             "vs_baseline": round(base / (dt * 1e3), 3) if base else -1,
         }))
-    return dt
+    return dt, base
 
 
 @jax.jit

@@ -33,6 +33,27 @@ def test_pallas_jfa_matches_oracle_random():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
 
 
+def test_pipelined_flood_bit_matches_legacy_kernel():
+    """The round-4 pipelined kernel (one DMA per plane, hoisted seed
+    unpack, fused final pass) must be BIT-identical to the round-3
+    three-plane kernel: same float selection formula, same candidate
+    order, same strict-< tie-breaks (the exact-int round-3 negative
+    result is why this is asserted at atol=0)."""
+    from voxtpu.ops.jfa_pallas import _jfa_pallas
+
+    rng = np.random.default_rng(11)
+    n = 32
+    occ = rng.random((n, n, n)) < 0.03  # sparse: long floods, real ties
+    spec = GridSpec(n=n, origin=(0.5, -2.0, 1.25), voxel_size=0.0625)
+    pipe = np.asarray(_jfa_pallas(occ, spec.origin, spec.voxel_size,
+                                  n=n, pipe=True))
+    legacy = np.asarray(_jfa_pallas(occ, spec.origin, spec.voxel_size,
+                                    n=n, pipe=False))
+    np.testing.assert_array_equal(pipe, legacy)
+    ref = jfa_ref(occ, spec)
+    np.testing.assert_allclose(pipe, ref, rtol=1e-6, atol=0)
+
+
 def test_pallas_jfa_delegates_beyond_1024(monkeypatch):
     """N > 1024 exceeds both the packed encoding and a single chip's
     HBM; the pallas backend must delegate to the stepped wide XLA flood

@@ -33,7 +33,15 @@ def seg_setup(request):
     coords = (coords + rng.normal(0, 1e-3, coords.shape)).astype(np.float32)
     mesh = Mesh(name="torus_sub", coords=coords, faces=faces,
                 faces_normals=faces)
-    spec = GridSpec.fit(mesh.coords, 256)
+    # n = 256 is the engine floor, but the interpret-mode cost driver is
+    # the (tile, panel) batch count, which tracks the mesh's EXTENT in
+    # grid cells — so scale the spec 256/96 so the torus spans ~96
+    # voxels of the 256^3 grid (same assertion surface, ~7x fewer
+    # batches than a grid-filling fit; round-4 suite-time item).
+    side = float(np.ptp(coords, axis=0).max())
+    mins = coords.min(axis=0)
+    spec = GridSpec(n=256, origin=tuple(float(v) for v in mins),
+                    voxel_size=side / 96.0)
     sp = make_soft_plan(mesh, spec)
     plan = SegSoftPlan(sp, mesh.coords)
     return mesh, spec, sp, plan

@@ -123,15 +123,15 @@ class VoxelGrid:
         """Traceable set-voxel count as a float32 scalar (usable under
         `jax.jit`, unlike :meth:`count`).
 
-        Accumulated in int32 (exact up to 2^31 - 1 set voxels, i.e. any
-        N <= 1024 grid and all but near-full larger ones) and converted
-        once at the end — the single conversion rounds totals above
-        2^24 by at most 2^-24 relative, but never accumulates error the
-        way a float32 running sum would. For totals that may exceed
-        2^31 (near-full N >= 2048 grids), use the host-side
-        :meth:`count`."""
-        total = jnp.sum(_popcount32(self.words), dtype=jnp.int32)
-        return total.astype(jnp.float32)
+        Per-Z-plane int32 partial sums (exact: a plane holds <= N^2 <=
+        2^24 bits for any N <= 4096, and every int <= 2^24 is exactly
+        representable in float32), then a float32 reduction over planes
+        — totals above 2^24 round by <= 2^-24 relative but can never
+        wrap negative the way a single int32 sum would on near-full
+        N >= 2048 grids (> 2^31 set voxels)."""
+        per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
+                            dtype=jnp.int32)
+        return jnp.sum(per_plane.astype(jnp.float32))
 
     def spec(self) -> GridSpec:
         return GridSpec(

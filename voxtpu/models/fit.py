@@ -180,7 +180,12 @@ class VoxelFit:
                 return False
             from voxtpu.ops.soft_vox_seg import MARGIN
 
-            limit = max(MARGIN - 17.0 * self._tau[1] - 4.0, 1.0)
+            # No floor: for tau_x_frac near the engine's acceptance
+            # limit the computed slack reaches 0 and ANY x_hit drift
+            # forces a refresh — a 1-voxel grace here would let the X
+            # sigmoid tail leak past the panel edge between checks and
+            # silently void the panel-decomposition exactness argument.
+            limit = max(MARGIN - 17.0 * self._tau[1] - 4.0, 0.0)
             if self._loss_aux[0].xhit_drift_vox(state.coords) <= limit:
                 return False
         from voxtpu.ops.soft_vox import refresh_soft_plan

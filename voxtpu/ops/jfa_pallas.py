@@ -126,6 +126,174 @@ def _flood_step_pallas(seed, org, k: int, n: int):
     )(seed, seed, seed, org)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 pipelined flood step.
+#
+# The 3-plane kernel above DMAs every plane 3x per step (as z-k, z, z+k
+# source) and unpacks/world-converts each seed once PER CANDIDATE (26x).
+# This variant walks each stride-k residue class r (planes r, r+k,
+# r+2k, ... are exactly the z+/-k neighbors of each other) with a grid
+# of (k, n/k + 1): step (r, j) fetches plane r + j*k ONCE, unpacks it
+# once into world-coordinate planes (sxw = ox + sx*vs etc. — the exact
+# per-candidate expressions of `_step_kernel`, hoisted), and computes
+# the output for plane r + (j-1)*k from scratch-carried (prev, cur) +
+# the just-fetched next. HBM traffic per step drops from 3 reads +
+# 1 write to 1 + 1, and the per-candidate VPU work drops from
+# unpack+convert+fma+distance (~24 ops) to distance-only (~12 ops +
+# 3 extra rolls). Selection VALUES and ORDER are bit-identical to
+# `_step_kernel` (same float formula, same candidate sequence, same
+# strict-< tie-breaks), so oracle bit-parity is preserved — the
+# round-3 exact-int lesson says that is the contract.
+#
+# `emit_sdf=True` additionally fuses the final signed-distance pass
+# into the k=1 step (reads occ for the sign, writes f32 sign*d2 — the
+# selected best_d2 IS the final kernel's recomputed d2, same formula).
+# ---------------------------------------------------------------------------
+
+
+def _pipe_kernel(n: int, k: int, emit_sdf: bool):
+    from jax.experimental import pallas as pl
+
+    L = n // k
+
+    def _unpack(pk, ox, oy, oz, vs):
+        sx = (pk & _MASK10).astype(jnp.float32)
+        sy = ((pk >> 10) & _MASK10).astype(jnp.float32)
+        sz = ((pk >> 20) & _MASK10).astype(jnp.float32)
+        sxw = ox + sx * vs
+        syw = oy + sy * vs
+        szw = oz + sz * vs
+        # Invalid (-1) seeds poison the z term: any d2 using them is
+        # +inf, exactly `_step_kernel`'s where(seed < 0, inf, d2).
+        szw = jnp.where(pk < 0, jnp.float32(jnp.inf), szw)
+        return sxw, syw, szw
+
+    def kernel(*refs):
+        if emit_sdf:
+            (seed_in, occ_in, org_ref, out_ref,
+             pw_ref, pk_ref, cw_ref, ck_ref) = refs
+        else:
+            (seed_in, org_ref, out_ref,
+             pw_ref, pk_ref, cw_ref, ck_ref) = refs
+        r = pl.program_id(0)
+        j = pl.program_id(1)
+        ox, oy, oz, vs = org_ref[0], org_ref[1], org_ref[2], org_ref[3]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # y
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # x
+        px = ox + cols.astype(jnp.float32) * vs
+        py = oy + rows.astype(jnp.float32) * vs
+
+        nk_pk = seed_in[0]
+        nk_w = _unpack(nk_pk, ox, oy, oz, vs)
+
+        @pl.when(j > 0)
+        def _():
+            z = r + (j - 1) * k
+            pz = oz + z.astype(jnp.float32) * vs
+            prev_ok = j >= 2          # z - k >= 0 (r < k)
+            next_ok = j <= L - 1      # z + k <= n - 1
+
+            # In-plane wrap masks, shared by all three levels.
+            vy = {dy: (rows + dy * k >= 0) & (rows + dy * k < n)
+                  for dy in (-1, 1)}
+            vx = {dx: (cols + dx * k >= 0) & (cols + dx * k < n)
+                  for dx in (-1, 1)}
+
+            cur_w = (cw_ref[0], cw_ref[1], cw_ref[2])
+            cur_pk = ck_ref[...]
+            prev_w = (pw_ref[0], pw_ref[1], pw_ref[2])
+            prev_pk = pk_ref[...]
+
+            def d2_of(w):
+                sxw, syw, szw = w
+                return (px - sxw) ** 2 + (py - syw) ** 2 + (pz - szw) ** 2
+
+            best_seed = cur_pk
+            best_d2 = d2_of(cur_w)
+
+            levels = ((prev_w, prev_pk, prev_ok, -1),
+                      (cur_w, cur_pk, None, 0),
+                      (nk_w, nk_pk, next_ok, 1))
+            for (w, pk, ok, dz) in levels:
+                for dy in (-1, 0, 1):
+                    if dy:
+                        ry_w = tuple(jnp.roll(a, -dy * k, axis=0) for a in w)
+                        ry_pk = jnp.roll(pk, -dy * k, axis=0)
+                    else:
+                        ry_w, ry_pk = w, pk
+                    for dx in (-1, 0, 1):
+                        if dz == 0 and dy == 0 and dx == 0:
+                            continue
+                        if dx:
+                            q_w = tuple(jnp.roll(a, -dx * k, axis=1)
+                                        for a in ry_w)
+                            q_pk = jnp.roll(ry_pk, -dx * k, axis=1)
+                        else:
+                            q_w, q_pk = ry_w, ry_pk
+                        d2 = d2_of(q_w)
+                        valid = None
+                        if dy:
+                            valid = vy[dy]
+                        if dx:
+                            valid = vx[dx] if valid is None else valid & vx[dx]
+                        if ok is not None:
+                            valid = ok if valid is None else valid & ok
+                        if valid is not None:
+                            d2 = jnp.where(valid, d2, jnp.float32(jnp.inf))
+                        better = d2 < best_d2
+                        best_d2 = jnp.where(better, d2, best_d2)
+                        best_seed = jnp.where(better, q_pk, best_seed)
+
+            if emit_sdf:
+                sign = jnp.where(occ_in[0], jnp.float32(1), jnp.float32(-1))
+                out_ref[0] = sign * best_d2
+            else:
+                out_ref[0] = best_seed
+
+        # Rotate the pipeline: prev <- cur, cur <- just-fetched.
+        pw_ref[...] = cw_ref[...]
+        pk_ref[...] = ck_ref[...]
+        cw_ref[0], cw_ref[1], cw_ref[2] = nk_w
+        ck_ref[...] = nk_pk
+
+    return kernel
+
+
+def _flood_step_pipelined(seed, org, k: int, n: int,
+                          occ=None, emit_sdf: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = n // k
+    zmap = lambda r, j: (r + jnp.minimum(j, L - 1) * k, 0, 0)
+    omap = lambda r, j: (r + jnp.maximum(j - 1, 0) * k, 0, 0)
+    in_specs = [pl.BlockSpec((1, n, n), zmap)]
+    args = [seed]
+    if emit_sdf:
+        in_specs.append(pl.BlockSpec((1, n, n), omap))
+        args.append(occ)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args.append(org)
+    return pl.pallas_call(
+        _pipe_kernel(n, k, emit_sdf),
+        grid=(k, L + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, n), omap),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n, n), jnp.float32 if emit_sdf else jnp.int32),
+        scratch_shapes=[pltpu.VMEM((3, n, n), jnp.float32),
+                        pltpu.VMEM((n, n), jnp.int32),
+                        pltpu.VMEM((3, n, n), jnp.float32),
+                        pltpu.VMEM((n, n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
 def _final_kernel(n: int):
     from jax.experimental import pallas as pl
 
@@ -172,16 +340,22 @@ def _sdf_from_seed_pallas(seed, occ, org, n: int):
     )(seed, occ, org)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _jfa_pallas(occ, origin, voxel_size, *, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "pipe"))
+def _jfa_pallas(occ, origin, voxel_size, *, n: int, pipe: bool = True):
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
     seed = jfa_init_seed(occ)
     org = jnp.concatenate([origin, vs[None]]).astype(jnp.float32)
     k = n // 2
-    while k >= 1:
-        seed = _flood_step_pallas(seed, org, k, n)
+    while k >= 2:
+        if pipe:
+            seed = _flood_step_pipelined(seed, org, k, n)
+        else:
+            seed = _flood_step_pallas(seed, org, k, n)
         k //= 2
+    if pipe:  # k = 1 step fused with the final signed-distance pass
+        return _flood_step_pipelined(seed, org, 1, n, occ=occ, emit_sdf=True)
+    seed = _flood_step_pallas(seed, org, 1, n)
     return _sdf_from_seed_pallas(seed, occ, org, n)
 
 
@@ -190,9 +364,16 @@ def _init_jit(occ, *, n: int):
     return jfa_init_seed(occ)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n"))
-def _step_jit(seed, org, *, k: int, n: int):
+@functools.partial(jax.jit, static_argnames=("k", "n", "pipe"))
+def _step_jit(seed, org, *, k: int, n: int, pipe: bool = True):
+    if pipe:
+        return _flood_step_pipelined(seed, org, k, n)
     return _flood_step_pallas(seed, org, k, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _final_step_jit(seed, occ, org, *, n: int):
+    return _flood_step_pipelined(seed, org, 1, n, occ=occ, emit_sdf=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -200,7 +381,8 @@ def _final_jit(seed, occ, org, *, n: int):
     return _sdf_from_seed_pallas(seed, occ, org, n)
 
 
-def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int):
+def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int,
+                        pipe: bool = True):
     """Per-step dispatch for large N: one jit per flood step, so buffers
     free between steps. The single whole-flood jit OOMs at 1024^3 — XLA's
     buffer assignment keeps every pallas step's 4 GB output live for the
@@ -214,9 +396,12 @@ def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int):
     ).astype(jnp.float32)
     seed = _init_jit(occ, n=n)
     k = n // 2
-    while k >= 1:
-        seed = _step_jit(seed, org, k=k, n=n)
+    while k >= 2:
+        seed = _step_jit(seed, org, k=k, n=n, pipe=pipe)
         k //= 2
+    if pipe:
+        return _final_step_jit(seed, occ, org, n=n)
+    seed = _step_jit(seed, org, k=1, n=n, pipe=False)
     return _final_jit(seed, occ, org, n=n)
 
 
@@ -234,6 +419,13 @@ def jfa_pallas(occ, spec: GridSpec):
     the only limit, and multi-chip grids belong to the Z-sharded path
     (`voxtpu.parallel.sharded_jfa`).
     """
+    import os
+
+    # JFA_PIPE=0 selects the round-3 three-plane kernel (A/B knob; the
+    # round-4 pipelined kernel is the default — same bit-exact
+    # selection, each plane DMA'd once instead of 3x and unpacked once
+    # instead of per-candidate).
+    pipe = os.environ.get("JFA_PIPE", "1") == "1"
     if spec.n > 1024:
         from voxtpu.ops.jfa import jfa_xla_stepped
 
@@ -241,5 +433,6 @@ def jfa_pallas(occ, spec: GridSpec):
     if spec.n > 512:
         # Above 512 the whole-flood jit's per-step output buffers (XLA
         # keeps each pallas step's result live) approach chip HBM.
-        return _jfa_pallas_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
-    return _jfa_pallas(occ, spec.origin, spec.voxel_size, n=spec.n)
+        return _jfa_pallas_stepped(occ, spec.origin, spec.voxel_size,
+                                   n=spec.n, pipe=pipe)
+    return _jfa_pallas(occ, spec.origin, spec.voxel_size, n=spec.n, pipe=pipe)

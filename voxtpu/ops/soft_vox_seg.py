@@ -541,7 +541,14 @@ class SegSoftPlan:
         cz = org[2] + (zs.astype(np.float32) * vs + vs * 0.5)
         xh = fp[faces] - fq[faces] * cy - fr[faces] * cz
         xv = (xh - org[0]) / vs
-        xv = np.nan_to_num(xv, nan=0.0, posinf=1e9, neginf=-1e9)
+        # nan_to_num alone is not enough: near-edge-on faces have
+        # finite Q,R ~ 1e18 (A ~ 0), so xv can be finite-but-huge and
+        # overflow the int32 cast below (invalid-cast warning + garbage
+        # panel).  Clip to a castable range — the p0 clip to
+        # [0, n - PANEL] already defines the semantics for any x_hit
+        # outside the grid (saturated profile + carry), so the exact
+        # magnitude beyond 1e9 voxels is irrelevant.
+        xv = np.clip(np.nan_to_num(xv, nan=0.0), -1e9, 1e9)
         p0 = np.clip(
             np.floor((xv - np.float32(MARGIN)) / np.float32(LATTICE))
             .astype(np.int32) * LATTICE,
