@@ -45,26 +45,53 @@ def _default_backend() -> str:
     few times; on persistent failure emit a machine-readable JSON error
     line the driver can distinguish from a broken build, and exit 0.
     """
-    tries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+    import threading
+
+    tries = int(os.environ.get("BENCH_INIT_RETRIES", "3"))
+    # The outage has two shapes: a fast UNAVAILABLE raise (round 3's
+    # BENCH_r03 crash — handled by the retry loop below) and an
+    # indefinite connection HANG inside the backend's C init, which no
+    # in-process signal can interrupt (a SIGALRM handler never runs
+    # while the main thread is blocked in a C call — measured during a
+    # live outage, 2026-08-18). A daemon watchdog THREAD keeps running
+    # regardless: `budget` seconds after init started (covering all
+    # retries) it emits the machine-readable error line itself and
+    # hard-exits 0.
+    budget = int(os.environ.get("BENCH_INIT_TIMEOUT_S", "420"))
     delay = 15.0
     last: Exception | None = None
-    for attempt in range(tries):
-        try:
-            return jax.default_backend()
-        except RuntimeError as e:
-            if "navailable" not in str(e) and "UNAVAILABLE" not in str(e):
-                raise
-            last = e
-            print(f"# backend init UNAVAILABLE "
-                  f"(attempt {attempt + 1}/{tries}); retry in {delay:.0f}s",
-                  file=sys.stderr)
-            try:  # drop the cached failure so the next attempt re-inits
-                from jax._src import xla_bridge as _xb
-                _xb._clear_backends()
-            except Exception:
-                pass
-            time.sleep(delay)
-            delay = min(delay * 2, 120.0)
+    done = threading.Event()
+
+    def _watchdog() -> None:
+        if not done.wait(budget):
+            print(json.dumps({
+                "error": "tpu_unavailable", "metric": "vox_total_ms",
+                "value": None, "unit": "ms", "vs_baseline": None,
+                "detail": f"backend init hang > {budget}s (tunnel down)",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        for attempt in range(tries):
+            try:
+                return jax.default_backend()
+            except RuntimeError as e:
+                if "navailable" not in str(e) and "UNAVAILABLE" not in str(e):
+                    raise
+                last = e
+                print(f"# backend init UNAVAILABLE "
+                      f"(attempt {attempt + 1}/{tries}); retry in {delay:.0f}s",
+                      file=sys.stderr)
+                try:  # drop the cached failure so the next attempt re-inits
+                    from jax._src import xla_bridge as _xb
+                    _xb._clear_backends()
+                except Exception:
+                    pass
+                time.sleep(delay)
+                delay = min(delay * 2, 120.0)
+    finally:
+        done.set()
     detail = str(last).splitlines()[-1][:200] if last else ""
     print(json.dumps({"error": "tpu_unavailable", "metric": "vox_total_ms",
                       "value": None, "unit": "ms", "vs_baseline": None,

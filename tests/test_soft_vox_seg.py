@@ -146,7 +146,10 @@ def test_seg_sharded_matches_unsharded(seg_setup):
     n = spec.n
     # Synthetic ball target (hard-voxelizing the torus at 256^3 on CPU
     # would dominate the test's cost; the loss identity doesn't care).
-    ax = (np.arange(n, dtype=np.float32) - n / 2) / (n / 2)
+    # Centered on the MESH's ~96-voxel corner region — a grid-centered
+    # ball would not overlap it and the IoU loss would saturate at
+    # exactly 1.0 (making "one step lowers the loss" unobservable).
+    ax = (np.arange(n, dtype=np.float32) - 48.0) / 48.0
     target = ((ax[:, None, None] ** 2 + ax[None, :, None] ** 2
                + ax[None, None, :] ** 2) < 0.45).astype(np.float32)
 

@@ -41,6 +41,17 @@ Same static-coords contract as `DeviceVoxPipeline`: vertex motion
 requires a rebuild (windows and slot coords are baked).  Memory scales
 with candidates (~4M at 512^3 / 1.35M faces -> ~250 MB of slot
 coords); use `DeviceVoxPipeline` above n = 2048 or when HBM is tight.
+
+Why the cap stays at 2048 (round-4 decision, VERDICT r3 next #4):
+candidate count tracks covered surface CELLS, so 4096^3 on the 1.35M-
+face bunny is ~64x the 512^3 count (~267M candidates). Nine f32 slot
+arrays = ~9.6 GB of layout on top of the 8.6 GB packed output — past a
+16 GB chip even before ping-pong buffers, and the layout would have to
+cross the tunnel's H2D at init (the 390 MB 10.8M-face plan already
+costs ~80 s).  Per-supertile slot SEGMENTS would cut resident layout
+S-fold but not the H2D or the host-side build; the event pipeline
+(whose per-call state is ~26 B/event x 17M events) is the measured
+4096 path instead (`BENCH_OP=voxtotal BENCH_N=4096`).
 """
 
 from __future__ import annotations
