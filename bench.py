@@ -442,7 +442,12 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
               f"batches={spipe.num_batches} build={sbuild_s:.1f}s "
               f"xor_vs_event={xor_pop}", file=sys.stderr)
         if xor_pop == 0:
-            dt, label = dt_slot, "slot"
+            # Both pipelines produce the identical grid (xor-verified):
+            # report the faster one. Slot wins at production sizes on
+            # TPU; event wins at small N where the static slot layout's
+            # fixed batch count dominates.
+            if dt_slot < dt_ev:
+                dt, label = dt_slot, "slot"
         else:  # never expected; keep the verified pipeline's number
             print(f"# WARNING slot/event mismatch ({xor_pop} voxels); "
                   "reporting the event total", file=sys.stderr)

@@ -101,6 +101,21 @@ def main() -> int:
             jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32))
         np.testing.assert_allclose(got, sdf_ref, rtol=1e-5, atol=1e-7)
 
+    def jfa_pipe_ab():
+        # The round-4 pipelined kernel must be BIT-identical to the
+        # round-3 three-plane kernel on hardware (same float selection
+        # formula, same candidate order; interpret-mode equality does
+        # not prove the Mosaic lowerings agree).
+        from voxtpu.ops.jfa_pallas import _jfa_pallas
+
+        got_pipe = np.asarray(_jfa_pallas(
+            jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32,
+            pipe=True))
+        got_leg = np.asarray(_jfa_pallas(
+            jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32,
+            pipe=False))
+        np.testing.assert_array_equal(got_pipe, got_leg)
+
     def _soft_engine_check(engine, mode=None):
         # Self-contained: the engine's jax.grad vs ITS OWN central
         # differences on a generic-position tet (cross-engine gradient
@@ -165,6 +180,7 @@ def main() -> int:
     check("vox_slot_total@64", vox_slots)
     check("jfa_pallas_fused@32", jfa_fused)
     check("jfa_pallas_stepped@32", jfa_stepped)
+    check("jfa_pipe_vs_legacy@32", jfa_pipe_ab)
     check("soft_vox_pallas_fwd_bwd@32",
           lambda: _soft_engine_check("pallas"))
     # Both fused precision modes must gradcheck on hardware — "exact8"
