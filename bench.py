@@ -36,6 +36,10 @@ import numpy as np
 
 BASELINE_GVOX_S = 68.0  # 512^3 / 1.97 ms, BASELINE.md tiled vox proc
 
+# (kind, value) -> (coords, faces); battery mode re-enters main() per
+# item and the 1.35M-face subdivision costs ~30 s of host time each.
+_MESH_CACHE: dict = {}
+
 
 def _default_backend() -> str:
     """`jax.default_backend()` with bounded retry/backoff.
@@ -248,11 +252,17 @@ def main() -> int:
     from voxtpu.mesh.obj_io import import_mesh
     from voxtpu.utils.timing import time_device_fn
 
-    mesh = import_mesh("/root/reference/assets/bunny.obj")
-    if subdiv:  # BENCH_SUBDIV overrides the face target (legacy knob)
-        coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+    key = ("subdiv", subdiv) if subdiv else ("faces", target_faces)
+    if key in _MESH_CACHE:  # battery mode re-enters main() per item
+        coords, faces = _MESH_CACHE[key]
     else:
-        coords, faces = subdivide_to(mesh.coords, mesh.faces, target_faces)
+        mesh = import_mesh("/root/reference/assets/bunny.obj")
+        if subdiv:  # BENCH_SUBDIV overrides the face target (legacy knob)
+            coords, faces = subdivide(mesh.coords, mesh.faces, subdiv)
+        else:
+            coords, faces = subdivide_to(mesh.coords, mesh.faces,
+                                         target_faces)
+        _MESH_CACHE[key] = (coords, faces)
     mesh = Mesh(name="bunny_sub", coords=coords, faces=faces, faces_normals=faces)
     spec = GridSpec.fit(mesh.coords, n)
 
@@ -655,5 +665,77 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
     return 0
 
 
+def _battery() -> int:
+    """Run the round's whole bench matrix IN ONE PROCESS.
+
+    Every separate python process pays the tunnel's backend init + plan
+    H2D again (80 s - 22 min variance, BENCH_NOTES), so the hardware
+    battery consolidates all bench.py items here: one init, a warm
+    in-process compile cache, and per-item isolation (an item that
+    dies — OOM, outage, Mosaic error — is reported and the battery
+    moves on, so a mid-run outage still leaves every earlier number on
+    stdout).  Items are priority-ordered to match VERDICT r3: headline
+    vox totals first, then the JFA A/B, then the long tail.
+    """
+    import gc
+    import traceback
+
+    items: list[dict[str, str]] = [
+        # 1. THE round-4 number: default bench @512 (headline = total).
+        dict(BENCH_N="512", BENCH_ITERS="20"),
+        # 2. Totals across the ladder (incl. the 4096 row, VERDICT #4).
+        dict(BENCH_N="256", BENCH_ITERS="20", BENCH_OP="voxtotal"),
+        dict(BENCH_N="1024", BENCH_ITERS="10", BENCH_OP="voxtotal"),
+        # 3. JFA pipelined-vs-legacy A/B (VERDICT #5).
+        dict(BENCH_OP="jfa", BENCH_N="256", JFA_PIPE="1"),
+        dict(BENCH_OP="jfa", BENCH_N="256", JFA_PIPE="0"),
+        dict(BENCH_OP="jfa", BENCH_N="512", JFA_PIPE="1"),
+        dict(BENCH_OP="jfa", BENCH_N="512", JFA_PIPE="0"),
+        # 4. Large-N tail (most OOM/time risk last).
+        dict(BENCH_N="2048", BENCH_ITERS="5", BENCH_OP="voxtotal"),
+        dict(BENCH_N="4096", BENCH_ITERS="2", BENCH_OP="voxtotal"),
+        dict(BENCH_OP="jfa", BENCH_N="1024", BENCH_ITERS="2",
+             JFA_PIPE="1"),
+        # 5. CSG reference point (cheap; rides the warm cache).
+        dict(BENCH_OP="csg", BENCH_N="512"),
+    ]
+    if os.environ.get("BENCH_BATTERY_ITEMS"):  # dry-run override (JSON)
+        items = json.loads(os.environ["BENCH_BATTERY_ITEMS"])
+    for item in items:  # the ambient BENCH_OP is "battery" — never inherit
+        item.setdefault("BENCH_OP", "vox")
+    base = {k: os.environ.get(k) for item in items for k in item}
+    failures = 0
+    for i, item in enumerate(items):
+        label = " ".join(f"{k}={v}" for k, v in sorted(item.items()))
+        print(f"# battery [{i + 1}/{len(items)}] {label}",
+              file=sys.stderr, flush=True)
+        os.environ.update(item)
+        try:
+            main()
+        except SystemExit as e:  # main() raises SystemExit on errors too
+            if e.code not in (0, None):
+                failures += 1
+                print(f"# battery item FAILED (exit {e.code}): {label}",
+                      file=sys.stderr, flush=True)
+        except Exception:
+            failures += 1
+            print(f"# battery item FAILED: {label}", file=sys.stderr)
+            traceback.print_exc()
+        finally:
+            # restore env so item overrides don't leak forward
+            for k in item:
+                if base[k] is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = base[k]
+            gc.collect()  # drop the item's device buffers before the next
+        sys.stdout.flush()
+    print(f"# battery done: {len(items) - failures}/{len(items)} ok",
+          file=sys.stderr)
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_OP") == "battery":
+        sys.exit(_battery())
     sys.exit(main())

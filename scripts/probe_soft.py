@@ -4,6 +4,11 @@ tables build (expand gathers), fwd kernel, full fwd, layout-only bwd,
 full fwd+bwd.
 
   PROBE_N=256 PROBE_FACES=1348128 python scripts/probe_soft.py
+
+PROBE_N takes a comma list (e.g. PROBE_N=256,512,1024): sizes run in
+ONE process — each new python process pays the tunnel's backend init
+again (80 s - 22 min, BENCH_NOTES) — and a size that dies (OOM/outage)
+is reported without killing the later ones.
 """
 import os
 import sys
@@ -22,14 +27,36 @@ import numpy as np
 
 
 def main():
-    n = int(os.environ.get("PROBE_N", "256"))
+    sizes = [int(s) for s in os.environ.get("PROBE_N", "256").split(",")]
+
+    from bench import subdivide_to
+    from voxtpu.mesh.mesh import Mesh
+    from voxtpu.mesh.obj_io import import_mesh
+
+    mesh = import_mesh("/root/reference/assets/bunny.obj")
+    target_faces = int(os.environ.get("PROBE_FACES", "1348128"))
+    coords, faces = subdivide_to(mesh.coords, mesh.faces, target_faces)
+    mesh = Mesh(name="bunny_sub", coords=coords, faces=faces,
+                faces_normals=faces)
+
+    failures = 0
+    for n in sizes:
+        try:
+            run(n, mesh)
+        except Exception:
+            failures += 1
+            import traceback
+
+            print(f"# probe_soft n={n} FAILED", flush=True)
+            traceback.print_exc()
+    return 1 if failures else 0
+
+
+def run(n: int, mesh):
     iters = int(os.environ.get("PROBE_ITERS", "5"))
     mode = os.environ.get("PROBE_MODE", "exact8")
 
-    from bench import subdivide_to
     from voxtpu.grids.voxel_grid import GridSpec
-    from voxtpu.mesh.mesh import Mesh
-    from voxtpu.mesh.obj_io import import_mesh
     from voxtpu.ops.soft_vox import make_soft_plan
     from voxtpu.ops.soft_vox_fused import (NATTR, FusedSoftPlan,
                                            _expand_rows, _gather_tri,
@@ -37,11 +64,6 @@ def main():
                                            triangle_coeffs)
     from voxtpu.utils.timing import time_device_fn
 
-    mesh = import_mesh("/root/reference/assets/bunny.obj")
-    target_faces = int(os.environ.get("PROBE_FACES", "1348128"))
-    coords, faces = subdivide_to(mesh.coords, mesh.faces, target_faces)
-    mesh = Mesh(name="bunny_sub", coords=coords, faces=faces,
-                faces_normals=faces)
     spec = GridSpec.fit(mesh.coords, n)
     t0 = time.time()
     sp = make_soft_plan(mesh, spec)
@@ -116,4 +138,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
