@@ -9,17 +9,28 @@ columns, and writes one CSV per (mesh, algorithm) under --output.
 Usage:
     python scripts/benchmarks.py --folder /root/reference/assets \
         --types 1 2 --minsize 32 --maxsize 256 --niter 5 --output benchmarks
+
+``--in-process`` runs the CLI by calling ``voxtpu.cli.main`` with
+redirected stdout instead of spawning subprocesses — same scrape
+contract, ONE backend init for the whole matrix. On the tunneled TPU
+every subprocess re-pays init + plan H2D (80 s - 22 min variance,
+BENCH_NOTES), which at a ~50-config matrix dominates the battery; the
+reference's per-config cold process start only matters for iteration 1,
+which the mean-excluding-max plots drop anyway.
 """
 
 from __future__ import annotations
 
 import argparse
 import csv
+import os
 import re
 import subprocess
 import sys
 from collections import defaultdict
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LINE_RE = re.compile(r"\[(.*)\]: ([\d.]+) ms")
 
@@ -50,6 +61,37 @@ def scrape(stdout: str):
     return per_main
 
 
+def _run_config(argv: list[str], in_process: bool) -> str | None:
+    """One CLI config; returns its stdout text, or None on failure."""
+    if not in_process:
+        cmd = [sys.executable, "-m", "voxtpu.cli"] + argv
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"  FAILED rc={r.returncode}\n{r.stderr[-2000:]}",
+                  file=sys.stderr)
+            return None
+        return r.stdout
+
+    import contextlib
+    import io
+    import traceback
+
+    from voxtpu.cli import main as cli_main
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(argv)
+    except Exception:
+        print(f"  FAILED (in-process)\n{traceback.format_exc()[-2000:]}",
+              file=sys.stderr)
+        return None
+    if rc != 0:
+        print(f"  FAILED rc={rc}", file=sys.stderr)
+        return None
+    return buf.getvalue()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--niter", type=int, default=5)
@@ -63,6 +105,9 @@ def main() -> int:
     ap.add_argument("--types", nargs="+", default=["1", "2"],
                     help="backends: 0=reference 1=xla 2=pallas 3=native")
     ap.add_argument("--device", default=None)
+    ap.add_argument("--in-process", action="store_true",
+                    help="call voxtpu.cli.main directly (one backend "
+                         "init for the whole matrix; tunneled-TPU mode)")
     args = ap.parse_args()
 
     out_root = Path(args.output)
@@ -83,22 +128,17 @@ def main() -> int:
         all_data = defaultdict(dict)  # main -> size -> [iteration dicts]
         for t in args.types:
             for size in sizes:
-                cmd = [
-                    sys.executable, "-m", "voxtpu.cli", str(mesh),
-                    "-n", str(size), "-t", str(t),
-                    "-m", str(args.niter), "-p", "1",
-                ]
+                argv = [str(mesh), "-n", str(size), "-t", str(t),
+                        "-m", str(args.niter), "-p", "1"]
                 if not args.no_sdf and size <= 512:
-                    cmd.append("-s")
+                    argv.append("-s")
                 if args.device:
-                    cmd += ["--device", args.device]
-                print("Running:", " ".join(cmd), flush=True)
-                r = subprocess.run(cmd, capture_output=True, text=True)
-                if r.returncode != 0:
-                    print(f"  FAILED rc={r.returncode}\n{r.stderr[-2000:]}",
-                          file=sys.stderr)
+                    argv += ["--device", args.device]
+                print("Running:", " ".join(argv), flush=True)
+                stdout = _run_config(argv, args.in_process)
+                if stdout is None:
                     continue
-                for main, iters in scrape(r.stdout).items():
+                for main, iters in scrape(stdout).items():
                     all_data[main].setdefault(size, []).extend(iters)
 
         for main, by_size in all_data.items():

@@ -37,7 +37,7 @@ EOF
 # Face-scaling ladder: pallas vox+jfa+csg at 32-256 for every rung the
 # big-mesh sections below don't already cover (the kernel is
 # face-count-independent — this is the curve that shows it).
-timeout 7200 python scripts/benchmarks.py \
+timeout 7200 python scripts/benchmarks.py --in-process \
     --meshes /tmp/bunny_3510.obj /tmp/bunny_7020.obj \
              /tmp/bunny_14042.obj /tmp/bunny_28086.obj \
              /tmp/bunny_168516.obj /tmp/bunny_337032.obj \
@@ -46,19 +46,19 @@ timeout 7200 python scripts/benchmarks.py \
     --types 2 --minsize 32 --maxsize 256 --niter 3 --output benchmarks
 
 # 1.35M-face mesh: pallas vox at 1024-2048 (SDF only to 512, as before).
-timeout 4800 python scripts/benchmarks.py \
+timeout 4800 python scripts/benchmarks.py --in-process \
     --meshes /tmp/bunny_1348128.obj --types 2 \
     --minsize 1024 --maxsize 2048 --no-sdf --niter 3 --output benchmarks
 
 # 10.8M-face mesh row (reference's largest): pallas vox @256.
-timeout 4800 python scripts/benchmarks.py \
+timeout 4800 python scripts/benchmarks.py --in-process \
     --meshes /tmp/bunny_10785024.obj --types 2 \
     --minsize 256 --maxsize 256 --no-sdf --niter 3 --output benchmarks
 
 # xla column at small N, standard meshes (native + reference-oracle
 # columns are host-side — they run without the tunnel and are refreshed
 # separately: `--types 0 3 --device cpu`).
-timeout 4800 python scripts/benchmarks.py \
+timeout 4800 python scripts/benchmarks.py --in-process \
     --types 1 --minsize 32 --maxsize 128 --niter 3 \
     --output benchmarks
 
