@@ -1,0 +1,66 @@
+"""Battery-mode and in-process benchmark tooling (tunnel-consolidation
+paths: one backend init must be able to serve a whole measurement
+matrix, with per-item failure isolation)."""
+
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def _run_battery(items, monkeypatch):
+    monkeypatch.setenv("BENCH_OP", "battery")
+    monkeypatch.setenv("BENCH_BATTERY_ITEMS", json.dumps(items))
+    import bench
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench._battery()
+    return rc, buf.getvalue()
+
+
+def test_battery_isolation_and_json_lines(monkeypatch):
+    """One good item emits its JSON line; a bad item (N % 32 != 0) is
+    isolated and flips the exit code without killing the battery."""
+    items = [
+        {"BENCH_OP": "csg", "BENCH_N": "32", "BENCH_FACES": "56172",
+         "BENCH_ITERS": "2"},
+        {"BENCH_OP": "jfa", "BENCH_N": "33", "BENCH_ITERS": "1"},
+    ]
+    rc, out = _run_battery(items, monkeypatch)
+    lines = [json.loads(l) for l in out.splitlines()
+             if l.startswith("{")]
+    assert rc == 1  # the N=33 item failed
+    assert len(lines) == 1
+    assert lines[0]["metric"].startswith("csg_union_packed_ms_32")
+    assert lines[0]["value"] > 0
+    # the ambient BENCH_OP=battery must not leak into items
+    assert os.environ["BENCH_OP"] == "battery"
+
+
+def test_benchmarks_runner_in_process(tmp_path, monkeypatch):
+    """--in-process drives voxtpu.cli.main directly and writes the same
+    per-(mesh, algo) CSVs as the subprocess contract."""
+    import csv
+
+    import scripts.benchmarks as bm
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["benchmarks", "--meshes", "/root/reference/assets/d20.obj",
+         "--types", "1", "--minsize", "32", "--maxsize", "32",
+         "--niter", "2", "--no-sdf", "--output", str(tmp_path),
+         "--in-process"])
+    assert bm.main() == 0
+    vox_csv = tmp_path / "d20" / "d20_xla_vox.csv"
+    assert vox_csv.exists()
+    with open(vox_csv) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0][0] == "size"
+    assert "xla_vox" in rows[0]
+    assert "xla_vox__processing" in rows[0]
+    assert len(rows) == 3  # header + 2 iterations
+    assert all(r[0] == "32" for r in rows[1:])
