@@ -65,11 +65,14 @@ def _default_backend() -> str:
     delay = 15.0
     last: Exception | None = None
     done = threading.Event()
+    op = os.environ.get("BENCH_OP", "vox")
+    metric = ("vox_total_ms" if op in ("vox", "voxtotal", "battery")
+              else f"{op}_ms")
 
     def _watchdog() -> None:
         if not done.wait(budget):
             print(json.dumps({
-                "error": "tpu_unavailable", "metric": "vox_total_ms",
+                "error": "tpu_unavailable", "metric": metric,
                 "value": None, "unit": "ms", "vs_baseline": None,
                 "detail": f"backend init hang > {budget}s (tunnel down)",
             }), flush=True)
@@ -97,7 +100,7 @@ def _default_backend() -> str:
     finally:
         done.set()
     detail = str(last).splitlines()[-1][:200] if last else ""
-    print(json.dumps({"error": "tpu_unavailable", "metric": "vox_total_ms",
+    print(json.dumps({"error": "tpu_unavailable", "metric": metric,
                       "value": None, "unit": "ms", "vs_baseline": None,
                       "retries": tries, "detail": detail}))
     raise SystemExit(0)
@@ -553,11 +556,18 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
         dt = time_device_fn(run, occ, iters=iters)
         passes = n.bit_length()  # log2(n) + 1 k-steps, incl. init
         baseline_ms = 264.71 if n == 512 else (36.46 if n == 256 else None)
-        # HBM roofline: each pallas flood step fetches 3 source planes
-        # per output plane + writes one (4 x N^3 x 4 B); init/final move
-        # ~3 more grid passes. The flood is HBM-bound by design (packed
-        # 1-array state), so this fraction is the headroom metric.
-        hbm_bytes = (4 * (passes - 1) + 3) * n**3 * 4
+        # HBM roofline: the legacy three-plane kernel fetches 3 source
+        # planes per output plane + writes one (4 x N^3 x 4 B/step); the
+        # default pipelined kernel fetches each plane ONCE (1 + 1).
+        # Init/final move ~3 more grid passes (the pipelined kernel
+        # fuses the final pass into the k=1 step). The flood is
+        # HBM-bound by design (packed 1-array state), so this fraction
+        # is the headroom metric.
+        pipe = (backend == "pallas"
+                and os.environ.get("JFA_PIPE", "1") == "1")
+        per_step = 2 if pipe else 4
+        extra = 2 if pipe else 3
+        hbm_bytes = (per_step * (passes - 1) + extra) * n**3 * 4
         hbm_frac = hbm_bytes / dt / V5E_HBM_GBS
         out = {
             "metric": f"jfa_sdf_full_ms_{n}c",

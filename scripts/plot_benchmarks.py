@@ -14,8 +14,9 @@ Matches the reference driver's full output matrix per mesh:
   `main__<label>`; the reference excludes its `memory` PCIe-copy scope
   — this pipeline's one-time overhead scope is `planning`, so both
   labels are excluded by default and whichever exists is subtracted).
-- `*_bar_diagram_{memory,no_memory}_<subset>.png` — per-stage bars
-  (the no_memory variant drops the excluded stage columns).
+- `*_<algo>_bar.png` / `*_<algo>_bar_no_memory.png` — per-stage bars,
+  one per (mesh, algorithm) CSV (the reference's bar_diagram outputs;
+  the no_memory variant drops the excluded stage columns).
 - Backend subsets mirror the reference's index code (0 = sequential /
   openmp host baseline, 1 = naive device, 2 = tiled device):
   vox 012/12/01 with 0 = ref; jfa 012/12/01 with 0 = native (the

@@ -28,7 +28,10 @@ def test_battery_isolation_and_json_lines(monkeypatch):
     items = [
         {"BENCH_OP": "csg", "BENCH_N": "32", "BENCH_FACES": "56172",
          "BENCH_ITERS": "2"},
-        {"BENCH_OP": "jfa", "BENCH_N": "33", "BENCH_ITERS": "1"},
+        # BENCH_FACES pinned: the packing failure triggers before the
+        # mesh matters, and the default would subdivide to 1.35M faces.
+        {"BENCH_OP": "jfa", "BENCH_N": "33", "BENCH_ITERS": "1",
+         "BENCH_FACES": "56172"},
     ]
     rc, out = _run_battery(items, monkeypatch)
     lines = [json.loads(l) for l in out.splitlines()

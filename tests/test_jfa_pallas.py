@@ -54,6 +54,27 @@ def test_pipelined_flood_bit_matches_legacy_kernel():
     np.testing.assert_allclose(pipe, ref, rtol=1e-6, atol=0)
 
 
+def test_pipelined_flood_non_divisor_strides():
+    """The pipelined kernel's residue walk covers all planes only when
+    k | n; the halving sequence hits non-divisor strides on
+    non-power-of-two N (smallest: n=14 -> k=3, and for packed grids
+    N = 224 = 32*7 -> k = 3). Those steps must fall back to the
+    three-plane kernel or the last n mod k planes keep garbage."""
+    from voxtpu.ops.jfa_pallas import _jfa_pallas
+
+    rng = np.random.default_rng(3)
+    n = 14  # k sequence 7, 3, 1: 14 % 3 != 0
+    occ = rng.random((n, n, n)) < 0.1
+    spec = GridSpec(n=n, origin=(-1.0, 0.5, 2.0), voxel_size=0.25)
+    pipe = np.asarray(_jfa_pallas(occ, spec.origin, spec.voxel_size,
+                                  n=n, pipe=True))
+    legacy = np.asarray(_jfa_pallas(occ, spec.origin, spec.voxel_size,
+                                    n=n, pipe=False))
+    np.testing.assert_array_equal(pipe, legacy)
+    ref = jfa_ref(occ, spec)
+    np.testing.assert_allclose(pipe, ref, rtol=1e-6, atol=0)
+
+
 def test_pallas_jfa_delegates_beyond_1024(monkeypatch):
     """N > 1024 exceeds both the packed encoding and a single chip's
     HBM; the pallas backend must delegate to the stepped wide XLA flood

@@ -123,14 +123,17 @@ class VoxelGrid:
         """Traceable set-voxel count as a float32 scalar (usable under
         `jax.jit`, unlike :meth:`count`).
 
-        Per-Z-plane int32 partial sums (exact: a plane holds <= N^2 <=
-        2^24 bits for any N <= 4096, and every int <= 2^24 is exactly
-        representable in float32), then a float32 reduction over planes
-        — totals above 2^24 round by <= 2^-24 relative but can never
-        wrap negative the way a single int32 sum would on near-full
-        N >= 2048 grids (> 2^31 set voxels)."""
+        N <= 1024: one int32 sum (exact — count <= N^3 = 2^30 < 2^31)
+        converted to float32 at the end (<= 2^-24 relative, one
+        rounding). N >= 2048 would wrap int32 on near-full grids
+        (> 2^31 set voxels), so those use per-Z-plane int32 partials
+        (exact: a plane holds <= N^2 <= 2^24 bits) reduced in float32 —
+        a few more roundings (tree reduce: ~log2(N) ulps), never a
+        wrap."""
         per_plane = jnp.sum(_popcount32(self.words), axis=(1, 2),
                             dtype=jnp.int32)
+        if self.n <= 1024:
+            return jnp.sum(per_plane, dtype=jnp.int32).astype(jnp.float32)
         return jnp.sum(per_plane.astype(jnp.float32))
 
     def spec(self) -> GridSpec:

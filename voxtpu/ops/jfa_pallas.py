@@ -348,7 +348,11 @@ def _jfa_pallas(occ, origin, voxel_size, *, n: int, pipe: bool = True):
     org = jnp.concatenate([origin, vs[None]]).astype(jnp.float32)
     k = n // 2
     while k >= 2:
-        if pipe:
+        # The residue walk covers all planes only when k | n (its grid
+        # is (k, n//k + 1)); the halving sequence hits non-divisor
+        # strides on non-power-of-two N (first at N = 224 = 32*7 ->
+        # k = 3) — those steps use the bit-identical three-plane kernel.
+        if pipe and n % k == 0:
             seed = _flood_step_pipelined(seed, org, k, n)
         else:
             seed = _flood_step_pallas(seed, org, k, n)
@@ -366,7 +370,7 @@ def _init_jit(occ, *, n: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "n", "pipe"))
 def _step_jit(seed, org, *, k: int, n: int, pipe: bool = True):
-    if pipe:
+    if pipe and n % k == 0:  # see _jfa_pallas: residue walk needs k | n
         return _flood_step_pipelined(seed, org, k, n)
     return _flood_step_pallas(seed, org, k, n)
 
