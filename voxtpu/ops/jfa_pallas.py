@@ -118,9 +118,10 @@ def _flood_step_pallas(seed, org, k: int, n: int):
         out_specs=pl.BlockSpec((1, n, n), lambda z: (z, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.int32),
         # 26 live (n, n) intermediates: let Mosaic spill beyond the
-        # default scoped-VMEM budget at n = 512.
+        # default scoped-VMEM budget at n = 512; at n = 1024 a plane is
+        # 4 MB, so open up to the v5e VMEM ceiling.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(100 if n <= 512 else 127) * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
     )(seed, seed, seed, org)
@@ -287,7 +288,9 @@ def _flood_step_pipelined(seed, org, k: int, n: int,
                         pltpu.VMEM((3, n, n), jnp.float32),
                         pltpu.VMEM((n, n), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # n = 1024 planes are 4 MB; the 8 scratch planes + carried
+            # world-coord quads need most of the v5e VMEM ceiling.
+            vmem_limit_bytes=(100 if n <= 512 else 127) * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
