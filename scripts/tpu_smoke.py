@@ -29,8 +29,15 @@ import numpy as np
 
 FAILURES = []
 
+# SMOKE_ONLY=substr[,substr...] runs just the matching checks — each
+# tunnel process re-pays backend init, so re-validating one fixed check
+# must not re-pay every other kernel's compile.
+_ONLY = [s for s in os.environ.get("SMOKE_ONLY", "").split(",") if s]
+
 
 def check(name, fn):
+    if _ONLY and not any(s in name for s in _ONLY):
+        return
     t0 = time.time()
     try:
         fn()
@@ -198,9 +205,15 @@ def main() -> int:
         from voxtpu.ops.soft_vox import make_soft_plan, soft_voxelize
         from voxtpu.ops.soft_vox_seg import SegSoftPlan, soft_voxelize_seg
 
+        # Tet spans ~0.25 of the grid: fragment count tracks the mesh's
+        # surface EXTENT in cells, and the XLA oracle materializes an
+        # (F, N) f32 intermediate — the original 0.8-span tet produced
+        # 16.7M fragments = a 16 GB temp that OOM'd the 16 GB chip. The
+        # seg engine's n >= 256 floor is panel geometry, not extent, and
+        # the +X fill still crosses every 64-column panel family.
         coords0 = np.array(
-            [[0.1, 0.1, 0.1], [0.9, 0.15, 0.2], [0.2, 0.85, 0.15],
-             [0.3, 0.3, 0.9]], np.float32)
+            [[0.1, 0.1, 0.1], [0.34, 0.115, 0.13], [0.13, 0.325, 0.115],
+             [0.16, 0.16, 0.34]], np.float32)
         faces = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [0, 3, 2]],
                          np.int32)
         tmesh = _Mesh(name="tet", coords=coords0, faces=faces,
