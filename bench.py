@@ -675,6 +675,31 @@ def _bench_other(op: str, mesh, spec, backend: str, n: int, iters: int) -> int:
     return 0
 
 
+def _hbm_recover() -> None:
+    """Release every device buffer + compiled executable after a failed
+    battery item.
+
+    Round-4 battery: the 4096^3 item died RESOURCE_EXHAUSTED and the
+    chip STAYED exhausted through the remaining items (even a 1024^3
+    ball build failed; the persistent-cache read itself errored) —
+    gc.collect() alone did not return the HBM. Items are independent
+    (only the host-side _MESH_CACHE crosses them), so dropping all live
+    arrays and the jit caches is safe; later items recompile from the
+    persistent cache.
+    """
+    import gc
+
+    import jax
+
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+        except Exception:  # noqa: BLE001 — already-deleted/donated
+            pass
+    jax.clear_caches()
+    gc.collect()
+
+
 def _battery() -> int:
     """Run the round's whole bench matrix IN ONE PROCESS.
 
@@ -727,10 +752,12 @@ def _battery() -> int:
                 failures += 1
                 print(f"# battery item FAILED (exit {e.code}): {label}",
                       file=sys.stderr, flush=True)
+                _hbm_recover()
         except Exception:
             failures += 1
             print(f"# battery item FAILED: {label}", file=sys.stderr)
             traceback.print_exc()
+            _hbm_recover()
         finally:
             # restore env so item overrides don't leak forward
             for k in item:

@@ -98,13 +98,29 @@ class VoxelFit:
         loss_fn: Callable = soft_iou_loss,
         refresh_every: int = 8,
         drift_limit_frac: float = 0.5,
-        engine: str = "xla",
+        engine: str = "auto",
     ):
         self.plan = plan
         self.target = jnp.asarray(target_occ, jnp.float32)
         self.optimizer = optax.adam(learning_rate)
         self._tau = (tau_edge_frac, tau_x_frac)
         self._loss_fn = loss_fn
+        if engine == "auto":
+            # Measured defaults (v5e battery, 2026-08-18, BENCH_NOTES
+            # round 4): seg beats fused ~1.3x fwd+bwd at 256^3/512^3
+            # (269 vs 353 ms, 363 vs 465 ms) but its backward OOMs a
+            # 16 GB chip at 1024^3 (20.3 GB of jvp panel temps); fused
+            # is the measured 1024^3 engine (798 ms fwd+bwd). Off-TPU,
+            # the pallas engines run interpret mode — stay on xla.
+            n = getattr(getattr(plan, "spec", None), "n", 0)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and 256 <= n <= 512 and getattr(
+                    plan, "plan_coords", None) is not None:
+                engine = "seg"
+            elif on_tpu and n > 512:
+                engine = "fused"
+            else:
+                engine = "xla"
         self.engine = engine  # xla | pallas | fused | seg
         self.refresh_every = refresh_every
         self.drift_limit_vox = drift_limit_frac * getattr(plan, "pad_window", 1)

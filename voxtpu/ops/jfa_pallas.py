@@ -428,11 +428,17 @@ def jfa_pallas(occ, spec: GridSpec):
     """
     import os
 
-    # JFA_PIPE=0 selects the round-3 three-plane kernel (A/B knob; the
-    # round-4 pipelined kernel is the default — same bit-exact
-    # selection, each plane DMA'd once instead of 3x and unpacked once
-    # instead of per-candidate).
-    pipe = os.environ.get("JFA_PIPE", "1") == "1"
+    # JFA_PIPE=1 selects the round-4 pipelined kernel (A/B knob): same
+    # bit-exact selection, each plane DMA'd once instead of 3x and seeds
+    # unpacked once per plane instead of per candidate. MEASURED SLOWER
+    # on the v5e (battery 2026-08-18: 15.4 vs 13.2 ms @256^3, 147 vs
+    # 123 ms @512^3) despite 2.3x less HBM traffic — the flood is
+    # VPU-bound and the 4-plane world-coordinate quad costs ~4 rolls
+    # per in-plane candidate where the legacy kernel rolls one packed
+    # plane; the residue-walk grid also pipelines worse than the dense
+    # z-grid. Kept for A/B and as the documented negative result
+    # (BENCH_NOTES round 4); the three-plane kernel is the default.
+    pipe = os.environ.get("JFA_PIPE", "0") == "1"
     if spec.n > 1024:
         from voxtpu.ops.jfa import jfa_xla_stepped
 
