@@ -244,13 +244,26 @@ def main() -> int:
 
         grad = jax.jit(jax.grad(lambda c, p: loss(c, p)))
         g = np.asarray(grad(jnp.asarray(coords0), eplan))
-        eps = 1e-3
+        # Primary contract: the seg panel machinery's analytic gradient
+        # matches the XLA engine's analytic gradient (noise-free; they
+        # agree to ~3e-5 relative on CPU). A straight FD check at
+        # eps = 1e-3 FAILS HERE WITH CORRECT GRADIENTS: 1e-3 is 0.26
+        # voxels at 256^3 and the loss has real curvature at that scale
+        # (measured: fd/grad = 0.21 / 0.54 / 0.90 / 0.99 at eps 1e-3 /
+        # 3e-4 / 1e-4 / 3e-5 — clean convergence to the analytic value).
+        gx = np.asarray(jax.jit(jax.grad(loss_xla))(jnp.asarray(coords0)))
+        scale = np.abs(gx).max()
+        np.testing.assert_allclose(g, gx, atol=1e-2 * scale, rtol=1e-2)
+        # FD sanity at a voxel-scaled eps, loose tolerance (second-order
+        # truncation is ~10% at this eps; f32 loss noise forbids much
+        # smaller steps through the bf16_3x hardware dots).
+        eps = 1e-4
         for v, a in [(0, 0), (1, 1), (3, 2)]:
             e = np.zeros_like(coords0)
             e[v, a] = eps
             fd = (float(loss(jnp.asarray(coords0 + e), eplan))
                   - float(loss(jnp.asarray(coords0 - e), eplan))) / (2 * eps)
-            assert abs(fd - g[v, a]) <= 5e-2 * max(1.0, abs(fd)), (
+            assert abs(fd - g[v, a]) <= 0.2 * max(1.0, abs(fd)), (
                 f"seg v{v} a{a}: fd={fd:.5f} grad={g[v, a]:.5f}")
 
     check("soft_vox_seg_fwd_bwd@256", _seg_engine_check)

@@ -72,7 +72,9 @@ def _we_kernel(num_words: int, wpad: int, tc: int, tb_sub: int):
     from jax.experimental import pallas as pl
 
     def kernel(batch_tile_ref, flags_ref, cell_ref, w_ref, hi_ref, mask_ref,
-               cnt_ref, out_ref, acc_carry, acc_b0, acc_b1, acc_b2, acc_b3):
+               cnt_ref, init_ref, out_ref,
+               acc_carry, acc_b0, acc_b1, acc_b2, acc_b3):
+        del init_ref  # HBM-resident zeros aliased to out (never read)
         b = pl.program_id(0)
         flags = flags_ref[b]
 
@@ -150,11 +152,9 @@ def _group_factor(num_words: int, num_tiles: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_words", "num_tiles", "tc", "tb_sub",
-                                    "dummy"))
+                   static_argnames=("num_words", "num_tiles", "tc", "tb_sub"))
 def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
-            num_words: int, num_tiles: int, tc: int, tb_sub: int,
-            dummy: bool = False):
+            num_words: int, num_tiles: int, tc: int, tb_sub: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -163,21 +163,27 @@ def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
     num_super = num_tiles // g
     wpad = max(g * num_words, _LANE_MIN)
     num_batches = cells.shape[0]
-    # `dummy`: reserve one extra output block as a scratch target for
-    # inert capacity batches (the fused device-side layout pads the
-    # batch list to a static maximum; spares must not clobber tile 0).
-    out_blocks = num_super + (1 if dummy else 0)
+    out_blocks = num_super
     spec3 = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # batch_tile, flags
         grid=(num_batches,),
-        in_specs=[spec3, spec3, spec3, spec3, spec3],
+        in_specs=[spec3, spec3, spec3, spec3, spec3,
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec(
             (1, tc, wpad), lambda b, batch_tile, flags: (batch_tile[b], 0, 0)
         ),
         scratch_shapes=[pltpu.VMEM((tc, wpad), jnp.int32)] * 5,
     )
     flops = num_batches * 5 * 2 * tb * tc * wpad
+    # The output buffer IS a donated zeros input (alias index = 2
+    # scalar-prefetch + 5 event operands): supertiles no batch visits
+    # keep their zeros, so callers need no tile_mask pass afterwards.
+    # That pass cost a full extra grid in HBM — a second 8.6 GB live
+    # buffer at 4096^3, which pushed the one-jit total past the chip
+    # (round-4 battery RESOURCE_EXHAUSTED; XLA cannot fuse into or out
+    # of a pallas result).
+    init = jnp.zeros((out_blocks, tc, wpad), jnp.uint32)
     out = pl.pallas_call(
         _we_kernel(num_words, wpad, tc, tb_sub),
         out_shape=jax.ShapeDtypeStruct((out_blocks, tc, wpad), jnp.uint32),
@@ -186,8 +192,9 @@ def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
             flops=flops, bytes_accessed=num_batches * tb * 20,
             transcendentals=0,
         ),
+        input_output_aliases={7: 0},
         interpret=jax.default_backend() != "tpu",
-    )(batch_tile, flags, cells, ws, his, masks, cnts)
+    )(batch_tile, flags, cells, ws, his, masks, cnts, init)
     return out[:num_super, :, :g * num_words]
 
 
@@ -462,11 +469,11 @@ class WordEventVoxPlan:
                    static_argnames=("n", "num_tiles", "tc", "tb_sub"))
 def _we_words(cells, ws, his, masks, cnts, batch_tile, flags, tile_mask, *,
               n: int, num_tiles: int, tc: int, tb_sub: int):
+    del tile_mask  # zero-init alias: unvisited supertiles are already 0
     num_words = n // WORD_BITS
     words = _run_we(cells, ws, his, masks, cnts, batch_tile, flags,
                     num_words=num_words, num_tiles=num_tiles, tc=tc,
                     tb_sub=tb_sub)
-    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
     g = _group_factor(num_words, num_tiles)
     if g > 1:
         # Unpack the lane panel: (S, tc, g, nw) -> sub-tiles are
@@ -485,10 +492,17 @@ def _device_batches(bounds, *, num_super: int, tb: int, b_max: int):
     """Batch layout ON DEVICE: replaces the `tile_batches` host loop (and
     its bounds D2H round trip) with a static-capacity searchsorted
     layout. Batch i belongs to the supertile whose cumulative-batch
-    range contains i; spares beyond the true batch count target a dummy
-    output block. Returns (batch_tile, flags, starts, ends, overflow);
-    `overflow` > 0 means b_max was too small and the result is missing
-    that many batches (callers must check and rebuild with more slack).
+    range contains i. Spares beyond the true batch count REVISIT the
+    last real batch's supertile with flags = 0: no acc reset, no write,
+    and the output block index never changes after the real LAST batch,
+    so the end-of-grid flush re-emits that block's already-written VMEM
+    verbatim. (A dedicated dummy output block would work too, but the
+    extra block forces an out[:num_super] slice after the kernel, which
+    XLA materializes as a second full-grid buffer — at 4096^3 that is
+    8 GiB of copy the zero-init output alias exists to avoid.)
+    Returns (batch_tile, flags, starts, ends, overflow); `overflow` > 0
+    means b_max was too small and the result is missing that many
+    batches (callers must check and rebuild with more slack).
     """
     counts = jnp.diff(bounds)
     nb = -((-counts) // tb)  # ceil(counts / tb); 0 for empty supertiles
@@ -505,8 +519,11 @@ def _device_batches(bounds, *, num_super: int, tb: int, b_max: int):
     ends = jnp.where(valid, jnp.minimum(starts + tb, bounds[t + 1]), 0)
     flags = (jnp.where(j == 0, FLAG_FIRST, 0)
              | jnp.where(j == nb[t] - 1, FLAG_LAST, 0))
-    flags = jnp.where(valid, flags, FLAG_FIRST | FLAG_LAST)
-    batch_tile = jnp.where(valid, t, num_super)  # spares -> dummy block
+    flags = jnp.where(valid, flags, 0)
+    # total == 0 (empty mesh): every batch is a no-write spare on block
+    # 0 and the zero-initialized output stays all-zeros — correct.
+    last_tile = t[jnp.clip(total - 1, 0, b_max - 1)]
+    batch_tile = jnp.where(valid, t, last_tile)
     overflow = jnp.maximum(total - b_max, 0)
     return batch_tile, flags, starts, ends, overflow
 
@@ -542,10 +559,7 @@ def _device_words_from_fragments(cells, xs, *, n: int, tc: int, tb_sub: int,
     words = _run_we(
         cb.reshape(shape3), wb.reshape(shape3), hb.reshape(shape3),
         mb.reshape(shape3), ctb.reshape(shape3), batch_tile, flags,
-        num_words=num_words, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
-        dummy=True)
-    tile_mask = jnp.diff(bounds) > 0
-    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
+        num_words=num_words, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub)
     if g > 1:
         words = words.reshape(-1, tc, g, num_words).transpose(0, 2, 1, 3)
     overflow = ovf_f + ovf_e + ovf_b
