@@ -61,7 +61,8 @@ def _pallas_kernel(n: int, num_words: int, tc: int, tb: int, seg: int):
     n_seg = n // seg
 
     def kernel(batch_tile_ref, flags_ref, xseg_ref, cell_ref, x_ref,
-               out_ref, counts):
+               init_ref, out_ref, counts):
+        del init_ref  # HBM-resident zeros aliased to out (never read)
         b = pl.program_id(0)
         flags = flags_ref[b]
         xseg = xseg_ref[b]
@@ -162,6 +163,7 @@ def _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg, *,
         in_specs=[
             pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, tc, num_words),
@@ -170,6 +172,13 @@ def _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg, *,
         scratch_shapes=[pltpu.VMEM((tc, n), jnp.int32)],
     )
     flops = num_batches * 2 * tb * tc * seg
+    # The output buffer IS a donated zeros input (alias index = 3
+    # scalar-prefetch + 2 fragment operands): tiles no batch visits keep
+    # their zeros, so callers need no tile_mask pass afterwards — that
+    # pass was a full extra grid read+write in HBM (the `_run_we` 4096^3
+    # lesson, BENCH_NOTES round 4: XLA cannot fuse into or out of a
+    # pallas result).
+    init = jnp.zeros((num_tiles, tc, num_words), jnp.uint32)
     return pl.pallas_call(
         _pallas_kernel(n, num_words, tc, tb, seg),
         out_shape=jax.ShapeDtypeStruct((num_tiles, tc, num_words), jnp.uint32),
@@ -177,9 +186,10 @@ def _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg, *,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=num_batches * tb * 8, transcendentals=0
         ),
+        input_output_aliases={5: 0},
         # Off-TPU (tests on the CPU mesh) the kernel runs interpreted.
         interpret=jax.default_backend() != "tpu",
-    )(batch_tile, flags, batch_xseg, local_cells, xs)
+    )(batch_tile, flags, batch_xseg, local_cells, xs, init)
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -323,12 +333,10 @@ class PallasVoxPlan:
 def _pallas_words(local_cells, xs, batch_tile, flags, batch_xseg, tile_mask,
                   *, n: int, num_tiles: int, tc: int = TILE_CELLS,
                   tb_sub: int = TB_SUB, seg: int | None = None):
+    del tile_mask  # zero-init alias: unvisited tiles are already 0
     words = _run_pallas(local_cells, xs, batch_tile, flags, batch_xseg,
                         n=n, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
                         seg=seg)
-    # Tiles with no fragments are never visited -> their blocks are
-    # uninitialized; mask them to zero.
-    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
     return words.reshape(n, n, n // WORD_BITS)
 
 

@@ -111,11 +111,11 @@ def _slot_emit(rows, local, batch_tile, origin, vs, *, n: int, tc: int):
 def _slot_total(rows, local, batch_tile, flags, batch_xseg, tile_mask,
                 origin, vs, *, n: int, num_tiles: int, tc: int,
                 tb_sub: int, seg: int | None):
+    del tile_mask  # zero-init alias: unvisited tiles are already 0
     xs, local_k = _slot_emit(rows, local, batch_tile, origin, vs, n=n, tc=tc)
     words = _run_pallas(local_k, xs, batch_tile, flags, batch_xseg,
                         n=n, num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
                         seg=seg)
-    words = jnp.where(tile_mask[:, None, None], words, jnp.uint32(0))
     return words.reshape(n, n, n // WORD_BITS)
 
 
