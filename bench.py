@@ -464,6 +464,38 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
         else:  # never expected; keep the verified pipeline's number
             print(f"# WARNING slot/event mismatch ({xor_pop} voxels); "
                   "reporting the event total", file=sys.stderr)
+        del swords
+
+    # Banded slot pipeline (round 4): per-batch fill spans a BAND-column
+    # x-window instead of all N — the large-N candidate. Measured where
+    # the whole-axis fill starts losing (>= 1024 by default).
+    banded_ns = os.environ.get("BENCH_BANDED", "1024,2048")
+    if str(n) in banded_ns.split(",") and n <= 2048:
+        from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
+
+        band = int(os.environ.get("BENCH_BAND", "256"))
+        t0 = _t.time()
+        bpipe = BandedSlotVoxPipeline(mesh, spec, band=band)
+        bbuild_s = _t.time() - t0
+        bwords, bovf = bpipe.words()  # compile + overflow check
+        assert int(bovf) == 0
+        xor_pop_b = int(_count_xor_pop(words, bwords))
+        del bwords
+
+        def brun():
+            return bpipe.words()[0]
+
+        dt_band = time_device_fn(brun, iters=it)
+        print(f"# vox_total_banded n={n} faces={mesh.num_faces} "
+              f"total={dt_band*1e3:.2f}ms band={band} "
+              f"slots={bpipe.num_slots} wide={bpipe.num_wide} "
+              f"batches={bpipe.num_batches} build={bbuild_s:.1f}s "
+              f"xor_vs_event={xor_pop_b}", file=sys.stderr)
+        if xor_pop_b == 0 and dt_band < dt:
+            dt, label = dt_band, "banded"
+        elif xor_pop_b:
+            print(f"# WARNING banded/event mismatch ({xor_pop_b} voxels); "
+                  "not reported", file=sys.stderr)
 
     print(f"# vox_total n={n} pipeline={label} total={dt*1e3:.2f}ms "
           f"vs_ref_total={(base / (dt*1e3)) if base else -1:.2f}x "

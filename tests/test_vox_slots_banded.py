@@ -1,0 +1,96 @@
+"""Banded static-slot total pipeline vs the XLA voxelizer (bit-parity)
+and its layout/routing invariants."""
+
+import numpy as np
+import pytest
+
+from voxtpu.grids.voxel_grid import GridSpec
+from voxtpu.mesh.mesh import Mesh
+from voxtpu.ops.vox import voxelize
+from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
+
+
+@pytest.mark.parametrize("fixture,n,band", [
+    ("bunny_mesh", 64, 64),       # band == n: degenerate whole-axis
+    ("torus_mesh", 256, 128),     # multi-panel bases + carries
+    ("sphere_mesh", 96, 96),      # non-pow2 N, odd group factor
+    ("d20_mesh", 128, 128),       # 20 huge triangles -> wide routing
+    ("bunny_mesh", 256, 128),
+])
+def test_banded_pipeline_bit_parity(request, fixture, n, band):
+    mesh = request.getfixturevalue(fixture)
+    spec = GridSpec.fit(mesh.coords, n)
+    ref = np.asarray(voxelize(mesh, spec, backend="xla").words)
+    pipe = BandedSlotVoxPipeline(mesh, spec, band=band)
+    words, overflow = pipe.words()
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(words), ref)
+
+
+def test_banded_routes_wide_triangles(d20_mesh):
+    """d20's 20 huge faces span far more than one band: they must ride
+    the whole-axis fallback, and the XOR merge must stay bit-exact."""
+    spec = GridSpec.fit(d20_mesh.coords, 256)
+    pipe = BandedSlotVoxPipeline(d20_mesh, spec, band=128)
+    assert pipe.num_wide > 0
+    assert pipe.wide is not None
+    ref = np.asarray(voxelize(d20_mesh, spec, backend="xla").words)
+    words, overflow = pipe.words()
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(words), ref)
+
+
+def test_banded_narrow_only_skips_wide(torus_mesh):
+    spec = GridSpec.fit(torus_mesh.coords, 256)
+    pipe = BandedSlotVoxPipeline(torus_mesh, spec, band=256)
+    assert pipe.num_wide == 0 and pipe.wide is None
+
+
+def test_banded_layout_invariants(bunny_mesh):
+    spec = GridSpec.fit(bunny_mesh.coords, 256)
+    pipe = BandedSlotVoxPipeline(bunny_mesh, spec, band=128)
+    n = spec.n
+    bt = np.asarray(pipe.batch_tile)
+    bsuper = np.asarray(pipe.batch_super)
+    bsub = np.asarray(pipe.batch_sub)
+    bw = np.asarray(pipe.batch_basew)
+    flags = np.asarray(pipe.flags)
+    g = pipe.group
+    # Batches sorted by supertile; FIRST/LAST mark supertile runs.
+    assert (np.diff(bsuper) >= 0).all()
+    starts = np.concatenate([[True], bsuper[1:] != bsuper[:-1]])
+    ends = np.concatenate([bsuper[1:] != bsuper[:-1], [True]])
+    np.testing.assert_array_equal((flags & 1) != 0, starts)
+    np.testing.assert_array_equal((flags & 2) != 0, ends)
+    np.testing.assert_array_equal(bsuper, bt // g)
+    np.testing.assert_array_equal(bsub, bt % g)
+    # Bands lie inside the axis.
+    assert (bw >= 0).all()
+    assert (bw * 32 + pipe.band <= n).all()
+    # Narrow + wide slots cover every exact-rect candidate.
+    narrow = int((np.asarray(pipe.local) >= 0).sum())
+    assert narrow + pipe.num_wide == pipe.num_candidates
+
+
+def test_banded_empty_mesh():
+    mesh = Mesh(name="empty",
+                coords=np.zeros((3, 3), np.float32),
+                faces=np.zeros((0, 3), np.int32),
+                faces_normals=np.zeros((0, 3), np.int32))
+    spec = GridSpec(n=64, origin=(0.0, 0.0, 0.0), voxel_size=1.0)
+    pipe = BandedSlotVoxPipeline(mesh, spec)
+    words, overflow = pipe.words()
+    assert int(overflow) == 0
+    got = np.asarray(words)
+    assert got.shape == (64, 64, 2)
+    assert (got == 0).all()
+
+
+def test_banded_rejects_bad_shapes(bunny_mesh):
+    with pytest.raises(ValueError, match="N % 32"):
+        BandedSlotVoxPipeline(
+            bunny_mesh, GridSpec(n=48, origin=(0.0,) * 3, voxel_size=1.0))
+    with pytest.raises(ValueError, match="multiple of 32"):
+        BandedSlotVoxPipeline(
+            bunny_mesh, GridSpec(n=64, origin=(0.0,) * 3, voxel_size=1.0),
+            band=48)

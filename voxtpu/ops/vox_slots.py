@@ -69,6 +69,78 @@ from voxtpu.ops.vox_pallas import (TB_LANE, TB_SUB, TILE_CELLS, _run_pallas,
                                    tile_batches)
 
 
+def _exact_candidates(mesh: Mesh, spec: GridSpec):
+    """Exact per-triangle y/z bounding-box rectangles of candidate cells.
+
+    Returns (tri, cell, v0, v1, v2): `tri[i]` the triangle owning
+    candidate i, `cell[i] = z * n + y` its YZ cell (int64), and the
+    triangle vertex arrays (host f32). A cell center outside the y/z
+    bbox can never pass the inclusive edge tests, so this is the exact
+    static candidate superset (tighter than the emit path's classed
+    square windows — no static bucket shapes are needed here)."""
+    n = spec.n
+    v0, v1, v2, sy, sz, _ = _triangle_windows(mesh, spec)
+    oy, oz = np.float32(spec.origin[1]), np.float32(spec.origin[2])
+    vs = np.float32(spec.voxel_size)
+    ey = np.clip(np.ceil(
+        (np.maximum(np.maximum(v0[:, 1], v1[:, 1]), v2[:, 1]) - oy)
+        / vs).astype(np.int64), 0, n)
+    ez = np.clip(np.ceil(
+        (np.maximum(np.maximum(v0[:, 2], v1[:, 2]), v2[:, 2]) - oz)
+        / vs).astype(np.int64), 0, n)
+    wy = np.maximum(ey - sy, 0)
+    wz = np.maximum(ez - sz, 0)
+    counts = wy * wz
+    total = int(counts.sum())
+    if not total:
+        return (np.zeros((0,), np.int32), np.zeros((0,), np.int64),
+                v0, v1, v2)
+    tri = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offs = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    wy_r = np.repeat(wy, counts)
+    dy = offs % np.maximum(wy_r, 1)
+    dz = offs // np.maximum(wy_r, 1)
+    ys = np.repeat(sy.astype(np.int64), counts) + dy
+    zs = np.repeat(sz.astype(np.int64), counts) + dz
+    cell = zs * n + ys
+    return tri, cell, v0, v1, v2
+
+
+def _slot_rows(tri_b: np.ndarray, local_b: np.ndarray, v0, v1, v2,
+               tb_sub: int):
+    """Materialize per-slot triangle coordinates as device arrays.
+
+    `tri_b`/`local_b` are (bcount, tb) host layouts (-1 local = pad).
+    Returns (rows, local): nine (B, tb_sub, 128) f32 coordinate arrays
+    (one init-time row gather — 64-byte rows ride the fast-gather path)
+    and the int32 local-cell array."""
+    bcount = tri_b.shape[0]
+    if len(v0) == 0:  # empty mesh: one degenerate row for pad slots
+        v0 = v1 = v2 = np.zeros((1, 3), np.float32)
+    tri9 = np.concatenate([v0, v1, v2], axis=1).astype(np.float32)
+    rows16 = jnp.asarray(
+        np.concatenate(
+            [tri9, np.zeros((tri9.shape[0], 7), np.float32)], axis=1))
+    slot_rows = jnp.take(rows16, jnp.asarray(tri_b.reshape(-1)), axis=0)
+    rows = tuple(
+        slot_rows[:, i].reshape(bcount, tb_sub, TB_LANE)
+        for i in range(9))
+    local = jnp.asarray(
+        local_b.astype(np.int32).reshape(bcount, tb_sub, TB_LANE))
+    return rows, local
+
+
+def _batch_index(starts: np.ndarray, ends: np.ndarray, values, tb: int,
+                 fill):
+    """Gather per-slot host arrays into a (bcount, tb) batch layout."""
+    total = values.shape[0]
+    idx = starts[:, None] + np.arange(tb, dtype=np.int64)[None, :]
+    in_range = idx < ends[:, None]
+    idx_c = np.clip(idx, 0, max(total - 1, 0))
+    return np.where(in_range, values[idx_c] if total else fill, fill)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "tc"))
 def _slot_emit(rows, local, batch_tile, origin, vs, *, n: int, tc: int):
     """Per-slot x-entry + validity — `voxtpu.ops.vox.emit_fragments`
@@ -160,32 +232,11 @@ class SlotVoxPipeline:
         self.num_tiles = num_tiles
 
         # --- static candidate set: exact per-triangle y/z rectangles.
-        v0, v1, v2, sy, sz, _ = _triangle_windows(mesh, spec)
-        oy, oz = np.float32(spec.origin[1]), np.float32(spec.origin[2])
-        vs = np.float32(spec.voxel_size)
-        ey = np.clip(np.ceil(
-            (np.maximum(np.maximum(v0[:, 1], v1[:, 1]), v2[:, 1]) - oy)
-            / vs).astype(np.int64), 0, n)
-        ez = np.clip(np.ceil(
-            (np.maximum(np.maximum(v0[:, 2], v1[:, 2]), v2[:, 2]) - oz)
-            / vs).astype(np.int64), 0, n)
-        wy = np.maximum(ey - sy, 0)
-        wz = np.maximum(ez - sz, 0)
-        counts = wy * wz
-        total = int(counts.sum())
+        tri, cell, v0, v1, v2 = _exact_candidates(mesh, spec)
+        total = cell.shape[0]
         self.num_candidates = total
 
         if total:
-            tri = np.repeat(
-                np.arange(len(counts), dtype=np.int32), counts)
-            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            offs = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-            wy_r = np.repeat(wy, counts)
-            dy = offs % np.maximum(wy_r, 1)
-            dz = offs // np.maximum(wy_r, 1)
-            ys = np.repeat(sy.astype(np.int64), counts) + dy
-            zs = np.repeat(sz.astype(np.int64), counts) + dz
-            cell = zs * n + ys
             order = np.argsort(cell // tc, kind="stable")
             cell = cell[order]
             tri = tri[order]
@@ -193,34 +244,20 @@ class SlotVoxPipeline:
             bounds = np.searchsorted(cell // tc,
                                      np.arange(num_tiles + 1, dtype=np.int64))
         else:
-            tri = np.zeros((0,), np.int32)
             local = np.zeros((0,), np.int32)
             bounds = np.zeros((num_tiles + 1,), np.int64)
 
         batch_tiles, starts, flags, ends, tile_mask, _ = tile_batches(
             bounds, tb)
         bcount = len(batch_tiles)
-        idx = starts[:, None] + np.arange(tb, dtype=np.int64)[None, :]
-        in_range = idx < ends[:, None]
-        idx_c = np.clip(idx, 0, max(total - 1, 0))
-        local_b = np.where(in_range, local[idx_c] if total else -1, -1)
-        tri_b = np.where(in_range, tri[idx_c] if total else 0, 0)
+        local_b = _batch_index(starts, ends, local, tb, -1)
+        tri_b = _batch_index(starts, ends, tri, tb, 0)
         self.num_batches = bcount
         self.num_slots = bcount * tb
 
         # --- device arrays: slot coords via one init-time row gather.
-        if len(v0) == 0:  # empty mesh: one degenerate row for pad slots
-            v0 = v1 = v2 = np.zeros((1, 3), np.float32)
-        tri9 = np.concatenate([v0, v1, v2], axis=1).astype(np.float32)
-        rows16 = jnp.asarray(
-            np.concatenate(
-                [tri9, np.zeros((tri9.shape[0], 7), np.float32)], axis=1))
-        slot_rows = jnp.take(rows16, jnp.asarray(tri_b.reshape(-1)), axis=0)
-        self.rows = tuple(
-            slot_rows[:, i].reshape(bcount, tb_sub, TB_LANE)
-            for i in range(9))
-        self.local = jnp.asarray(
-            local_b.astype(np.int32).reshape(bcount, tb_sub, TB_LANE))
+        self.rows, self.local = _slot_rows(tri_b, local_b, v0, v1, v2,
+                                           tb_sub)
         self.batch_tile = jnp.asarray(batch_tiles.astype(np.int32))
         self.flags = jnp.asarray(flags)
         self.batch_xseg = jnp.zeros((bcount,), jnp.int32)
