@@ -288,7 +288,10 @@ class BandedSlotVoxPipeline:
         c_w, t_w = cell[~narrow], tri[~narrow]
         self.num_wide = c_w.shape[0]
 
-        # --- narrow layout: grouped by (tile, x-panel of window start).
+        # --- narrow layout: grouped by (tile, x-panel of window start),
+        # then adjacent panel groups of a tile MERGE while their real
+        # [min xlo, max xhi] span fits one band from a 32-aligned base —
+        # per-group batch remainders were 1.5-1.8x padding without it.
         pb = (xlo[t_n] // _PANEL).astype(np.int64) if len(t_n) else \
             np.zeros((0,), np.int64)
         group = (c_n // tc) * npan + pb
@@ -296,13 +299,50 @@ class BandedSlotVoxPipeline:
         group = group[order]
         c_n, t_n = c_n[order], t_n[order]
         local_n = (c_n % tc).astype(np.int32)
-        bounds = np.searchsorted(
-            group, np.arange(num_tiles * npan + 1, dtype=np.int64))
-        batch_group, starts, _gflags, ends, _gmask, _ = tile_batches(
-            bounds, tb)
-        bcount = len(batch_group)
-        batch_tile = (batch_group // npan).astype(np.int64)
-        batch_pb = (batch_group % npan).astype(np.int64)
+        gstart = np.concatenate(
+            [[0], np.nonzero(group[1:] != group[:-1])[0] + 1]) \
+            if len(group) else np.zeros((0,), np.int64)
+        gid = group[gstart] if len(group) else gstart
+        gends = np.concatenate([gstart[1:], [len(group)]]).astype(np.int64)
+        glo = (np.minimum.reduceat(xlo[t_n], gstart)
+               if len(gstart) else gstart)
+        ghi = (np.maximum.reduceat(xhi[t_n], gstart)
+               if len(gstart) else gstart)
+        gtile = gid // npan
+
+        # Greedy run merge over the (sorted) active groups.
+        run_start, run_base, run_tile = [], [], []
+        run_end = []
+        i = 0
+        while i < len(gid):
+            lo = int(glo[i])
+            hi = int(ghi[i])
+            base = min((lo // WORD_BITS) * WORD_BITS, n - band)
+            j = i + 1
+            while (j < len(gid) and gtile[j] == gtile[i]
+                   and max(hi, int(ghi[j])) < base + band):
+                hi = max(hi, int(ghi[j]))
+                j += 1
+            run_start.append(int(gstart[i]))
+            run_end.append(int(gends[j - 1]))
+            run_base.append(base)
+            run_tile.append(int(gtile[i]))
+            i = j
+
+        batch_tile, batch_base, starts, ends = [], [], [], []
+        for rs, re, rb, rt in zip(run_start, run_end, run_base, run_tile):
+            for s in range(rs, re, tb):
+                batch_tile.append(rt)
+                batch_base.append(rb)
+                starts.append(s)
+                ends.append(min(s + tb, re))
+        if not batch_tile:  # empty narrow set: one inert batch on tile 0
+            batch_tile, batch_base, starts, ends = [0], [0], [0], [0]
+        batch_tile = np.asarray(batch_tile, np.int64)
+        batch_base = np.asarray(batch_base, np.int64)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        bcount = len(batch_tile)
         local_b = _batch_index(starts, ends, local_n, tb, -1)
         tri_b = _batch_index(starts, ends, t_n, tb, 0)
         self.num_batches = bcount
@@ -325,8 +365,7 @@ class BandedSlotVoxPipeline:
         self.batch_super = jnp.asarray(batch_super.astype(np.int32))
         self.batch_sub = jnp.asarray((batch_tile % g).astype(np.int32))
         self.batch_basew = jnp.asarray(
-            (np.minimum(batch_pb * _PANEL, n - band) // WORD_BITS)
-            .astype(np.int32))
+            (batch_base // WORD_BITS).astype(np.int32))
         self.flags = jnp.asarray(flags)
 
         # --- wide fallback: whole-axis batches on the plain suffix
