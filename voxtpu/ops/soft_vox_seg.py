@@ -169,16 +169,23 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
     ty = tc // tz
 
     def kernel(bt_ref, p0_ref, fl_ref, cell_ref, idx_ref, tab_ref, prm_ref,
-               ga_ref, gb_ref, gp_ref, dtab_ref):
+               g0_ref, g1_ref, gp_ref, dtab_ref):
         b = pl.program_id(0)
         tile = bt_ref[b]
         p0 = p0_ref[b]
-        fam_b = (p0 // LATTICE) % 2
         ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
         vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
 
-        is_a = (fam_b == 0).astype(jnp.float32)
-        g_panel = ga_ref[0, 0] * is_a + gb_ref[0, 0] * (1.0 - is_a)
+        # The batch's cotangent panel is g_t columns [p0, p0 + PANEL)
+        # for BOTH families (family B's out_b block j covers occ
+        # columns [128j + 64, 128j + 192) = [p0, p0 + 128)), fetched as
+        # two 64-column lattice blocks straight from g_t — materializing
+        # per-family (nt, nblk, tc, PANEL) transposes of g_t cost five
+        # ~4.3 GB HBM temps at 1024^3 (the round-4 battery OOM). The
+        # second half is zero past the grid's last column (the forward's
+        # shift-by-64 truncation of family B's tail).
+        h1 = jnp.where(p0 + PANEL <= n, g1_ref[0], jnp.float32(0.0))
+        g_panel = jnp.concatenate([g0_ref[0], h1], axis=1)
         gpre = gp_ref[0, 0]  # (1, tc): sum of g over columns < p0
 
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
@@ -381,11 +388,6 @@ def _seg_bwd_rule(cfg, res, g):
         # Pad batches read the extra tiles' zero cotangents -> zero dtab.
         g_t = jnp.concatenate([g_t, jnp.zeros((xt, tc, n), g.dtype)])
     nt_o = nt + xt
-    g_a = g_t.reshape(nt_o, tc, nblk, PANEL).transpose(0, 2, 1, 3)
-    g_sh = jnp.concatenate(
-        [g_t[:, :, LATTICE:], jnp.zeros((nt_o, tc, LATTICE), g.dtype)],
-        axis=2)
-    g_b = g_sh.reshape(nt_o, tc, nblk, PANEL).transpose(0, 2, 1, 3)
     gs = g_t.reshape(nt_o, tc, n // LATTICE, LATTICE).sum(-1)
     gpre = jnp.concatenate(
         [jnp.zeros((nt_o, tc, 1), g.dtype),
@@ -402,17 +404,14 @@ def _seg_bwd_rule(cfg, res, g):
                 slot, slot,
                 pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, tc, PANEL),
+                pl.BlockSpec((1, tc, LATTICE),
                              lambda b, bt, p0, fl:
-                             (bt[b],
-                              jnp.where((p0[b] // LATTICE) % 2 == 0,
-                                        p0[b] // PANEL, 0), 0, 0)),
-                pl.BlockSpec((1, 1, tc, PANEL),
+                             (bt[b], 0, p0[b] // LATTICE)),
+                pl.BlockSpec((1, tc, LATTICE),
                              lambda b, bt, p0, fl:
-                             (bt[b],
-                              jnp.where((p0[b] // LATTICE) % 2 == 1,
-                                        (p0[b] - LATTICE) // PANEL, 0),
-                              0, 0)),
+                             (bt[b], 0,
+                              jnp.minimum(p0[b] // LATTICE + 1,
+                                          n // LATTICE - 1))),
                 pl.BlockSpec((1, 1, 1, tc),
                              lambda b, bt, p0, fl:
                              (bt[b], p0[b] // LATTICE, 0, 0)),
@@ -427,7 +426,7 @@ def _seg_bwd_rule(cfg, res, g):
         ),
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
-      g_a, g_b, gpre)
+      g_t, g_t, gpre)
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
