@@ -30,8 +30,8 @@ from voxtpu.utils.timing import time_device_fn
 
 def main():
     ns = [int(s) for s in os.environ.get("PROBE_N", "1024,2048").split(",")]
-    cfgs = [tuple(int(v) for v in c.split(":"))
-            for c in os.environ.get("PROBE_CFGS", "256:4,256:8,128:4")
+    cfgs = [tuple(int(v) for v in (c.split(":") + ["2"])[:3])
+            for c in os.environ.get("PROBE_CFGS", "256:4:2,256:4:4,256:4:1")
             .split(",")]
     faces = int(os.environ.get("PROBE_FACES", "1348128"))
     iters = int(os.environ.get("PROBE_ITERS", "5"))
@@ -56,13 +56,13 @@ def main():
               f"batches={spipe.num_batches} build={build:.0f}s", flush=True)
         del spipe
 
-        for band, tb_sub in cfgs:
+        for band, tb_sub, pack in cfgs:
             from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
 
             try:
                 t0 = time.time()
                 bpipe = BandedSlotVoxPipeline(mesh, spec, band=band,
-                                              tb_sub=tb_sub)
+                                              tb_sub=tb_sub, pack=pack)
                 bwords, ovf = bpipe.words()
                 bwords.block_until_ready()
                 build = time.time() - t0
@@ -74,14 +74,16 @@ def main():
                     return bpipe.words()[0]
 
                 dt = time_device_fn(run, iters=iters)
-                print(f"n={n} banded band={band} tb={tb_sub*128}: "
-                      f"{dt*1e3:8.2f} ms batches={bpipe.num_batches} "
+                print(f"n={n} banded band={band} tb={tb_sub*128} "
+                      f"pack={pack}: {dt*1e3:8.2f} ms "
+                      f"batches={bpipe.num_batches} "
                       f"wide={bpipe.num_wide} xor={xor} ovf={novf} "
                       f"build={build:.0f}s", flush=True)
                 del bpipe
             except Exception as e:  # keep the battery going
-                print(f"n={n} banded band={band} tb={tb_sub*128}: "
-                      f"FAILED {type(e).__name__}: {e}", flush=True)
+                print(f"n={n} banded band={band} tb={tb_sub*128} "
+                      f"pack={pack}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
         del ref_words
     print("probe_banded done", flush=True)
 

@@ -10,18 +10,18 @@ from voxtpu.ops.vox import voxelize
 from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
 
 
-@pytest.mark.parametrize("fixture,n,band", [
-    ("bunny_mesh", 64, 64),       # band == n: degenerate whole-axis
-    ("torus_mesh", 256, 128),     # multi-panel bases + carries
-    ("sphere_mesh", 96, 96),      # non-pow2 N, odd group factor
-    ("d20_mesh", 128, 128),       # 20 huge triangles -> wide routing
-    ("bunny_mesh", 256, 128),
+@pytest.mark.parametrize("fixture,n,band,pack", [
+    ("bunny_mesh", 64, 64, 2),     # band == n: degenerate whole-axis
+    ("torus_mesh", 256, 128, 2),   # multi-panel bases + carries
+    ("sphere_mesh", 96, 96, 1),    # non-pow2 N, odd group, unpacked
+    ("d20_mesh", 128, 128, 2),     # 20 huge triangles -> wide routing
+    ("bunny_mesh", 256, 128, 4),   # 4 batches per grid step
 ])
-def test_banded_pipeline_bit_parity(request, fixture, n, band):
+def test_banded_pipeline_bit_parity(request, fixture, n, band, pack):
     mesh = request.getfixturevalue(fixture)
     spec = GridSpec.fit(mesh.coords, n)
     ref = np.asarray(voxelize(mesh, spec, backend="xla").words)
-    pipe = BandedSlotVoxPipeline(mesh, spec, band=band)
+    pipe = BandedSlotVoxPipeline(mesh, spec, band=band, pack=pack)
     words, overflow = pipe.words()
     assert int(overflow) == 0
     np.testing.assert_array_equal(np.asarray(words), ref)
@@ -50,20 +50,29 @@ def test_banded_layout_invariants(bunny_mesh):
     spec = GridSpec.fit(bunny_mesh.coords, 256)
     pipe = BandedSlotVoxPipeline(bunny_mesh, spec, band=128)
     n = spec.n
+    nw = n // 32
     bt = np.asarray(pipe.batch_tile)
-    bsuper = np.asarray(pipe.batch_super)
-    bsub = np.asarray(pipe.batch_sub)
     bw = np.asarray(pipe.batch_basew)
-    flags = np.asarray(pipe.flags)
+    off = np.asarray(pipe.off)
+    sf = np.asarray(pipe.step_sf)
     g = pipe.group
-    # Batches sorted by supertile; FIRST/LAST mark supertile runs.
-    assert (np.diff(bsuper) >= 0).all()
-    starts = np.concatenate([[True], bsuper[1:] != bsuper[:-1]])
-    ends = np.concatenate([bsuper[1:] != bsuper[:-1], [True]])
-    np.testing.assert_array_equal((flags & 1) != 0, starts)
-    np.testing.assert_array_equal((flags & 2) != 0, ends)
-    np.testing.assert_array_equal(bsuper, bt // g)
-    np.testing.assert_array_equal(bsub, bt % g)
+    # Each grid step pairs `pack` consecutive batches of one supertile.
+    assert len(bt) % pipe.pack == 0
+    assert len(sf) == len(bt) // pipe.pack
+    bsuper = bt // g
+    np.testing.assert_array_equal(
+        bsuper.reshape(-1, pipe.pack),
+        np.repeat(bsuper[::pipe.pack], pipe.pack).reshape(-1, pipe.pack))
+    # Steps sorted by supertile; FIRST/LAST mark supertile runs.
+    supers = sf >> 2
+    np.testing.assert_array_equal(supers, bsuper[::pipe.pack])
+    assert (np.diff(supers) >= 0).all()
+    starts = np.concatenate([[True], supers[1:] != supers[:-1]])
+    ends = np.concatenate([supers[1:] != supers[:-1], [True]])
+    np.testing.assert_array_equal((sf & 1) != 0, starts)
+    np.testing.assert_array_equal((sf & 2) != 0, ends)
+    # The packed lane offset carries (sub-tile, base word).
+    np.testing.assert_array_equal(off, (bt % g) * nw + bw)
     # Bands lie inside the axis.
     assert (bw >= 0).all()
     assert (bw * 32 + pipe.band <= n).all()

@@ -65,70 +65,82 @@ BAND = 256      # fill window columns (multiple of 32; >= 128 + max extent)
 _PANEL = 128    # x-panel stride for static window grouping
 
 
-def _banded_kernel(nw: int, wpad: int, tc: int, tb_sub: int, band: int):
+def _pack_tables(nw: int, wpad: int, band: int):
+    """Pack-weight tables, one (band, wpad) panel per lane offset.
+
+    Table o packs band bit-columns into words at lanes [o, o + band/32):
+    weight[o, r, l] = 2^(r % 32 half) iff l == o + r // 32 — powers of
+    two < 2^16, exact in bf16 with exact f32 sums. The kernel fetches
+    each batch's panel by block index (one 64 KB DMA) instead of
+    building it from iotas per batch (~0.1 us of VPU per batch)."""
+    bwords = band // WORD_BITS
+    offs = wpad - bwords + 1
+    o = np.arange(offs)[:, None, None]
+    r = np.arange(band)[None, :, None]
+    lane = np.arange(wpad)[None, None, :]
+    sel = (lane - (r >> 5)) == o
+    bitpos = r & 31
+    lo = np.where(sel & (bitpos < 16),
+                  (1 << np.minimum(bitpos, 15)).astype(np.float32), 0.0)
+    hi = np.where(sel & (bitpos >= 16),
+                  (1 << np.maximum(bitpos - 16, 0)).astype(np.float32), 0.0)
+    return (jnp.asarray(lo, jnp.bfloat16), jnp.asarray(hi, jnp.bfloat16))
+
+
+def _banded_kernel(nw: int, wpad: int, tc: int, tb_sub: int, band: int,
+                   pack: int):
     from jax.experimental import pallas as pl
 
     bwords = band // WORD_BITS
 
-    def kernel(super_ref, flags_ref, basew_ref, sub_ref, cell_ref, x_ref,
-               init_ref, out_ref, acc):
-        del super_ref, init_ref  # block routing / zero-init alias only
+    def kernel(sf_ref, off_ref, cell_ref, x_ref, *rest):
+        w_refs = rest[:2 * pack]
+        out_ref, acc = rest[2 * pack + 1], rest[2 * pack + 2]
         b = pl.program_id(0)
-        flags = flags_ref[b]
-        base_w = basew_ref[b]
-        sub = sub_ref[b]
-        base = base_w * WORD_BITS
+        flags = sf_ref[b] & 3
 
         @pl.when((flags & FLAG_FIRST) != 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        # Bit-granularity parity counts over the band: one-hot cell
-        # rows x suffix fill columns, int8 on the MXU (both 0/1-exact).
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
         band_iota = jax.lax.broadcasted_iota(jnp.int32, (band, TB_LANE), 0)
-        accb = jnp.zeros((tc, band), jnp.int32)
-        for s in range(tb_sub):
-            cells_s = cell_ref[0, s, :]   # (128,) lane vector, -1 inert
-            xl_s = x_ref[0, s, :] - base  # in [0, band) for live lanes
-            onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
-            fill = (band_iota >= xl_s[None, :]).astype(jnp.int8)
-            accb += jax.lax.dot_general(
-                onehot, fill,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        # Every live fragment fills through the band's last column, so
-        # that column's count is the per-cell carry for later words.
-        carry = accb[:, band - 1:band]
-
-        # Pack band bits into words at lanes [off, off + bwords), off
-        # from the batch's scalars (no static branch): weight[r, l] =
-        # 2^(r % 32 half) iff l == off + r // 32. Values are powers of
-        # two < 2^16 (exact in bf16; f32 sums < 2^16 exact). Select in
-        # f32 then downcast — where() into bf16 trips a Mosaic relayout
-        # bug on the i1 mask.
-        bits = (accb & 1).astype(jnp.float32).astype(jnp.bfloat16)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (band, wpad), 0)
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (band, wpad), 1)
-        off = sub * nw + base_w
-        sel = (l_iota - (r_iota >> 5)) == off
-        bitpos = r_iota & 31
-        p_lo = (1 << jnp.clip(bitpos, 0, 15)).astype(jnp.float32)
-        p_hi = (1 << jnp.clip(bitpos - 16, 0, 15)).astype(jnp.float32)
-        w_lo = jnp.where(sel & (bitpos < 16), p_lo, 0.0).astype(jnp.bfloat16)
-        w_hi = jnp.where(sel & (bitpos >= 16), p_hi, 0.0).astype(jnp.bfloat16)
-        lo = jnp.dot(bits, w_lo, preferred_element_type=jnp.float32)
-        hi = jnp.dot(bits, w_hi, preferred_element_type=jnp.float32)
-        words = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
-
-        # Odd per-cell carry flips every word of the sub-tile past the
-        # band (two's complement -1 = all ones); band lanes and suffix
-        # lanes are disjoint, other sub-tiles' lanes XOR with zero.
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (tc, wpad), 1)
-        m = (lane2 >= off + bwords) & (lane2 < (sub + 1) * nw)
-        upd = words ^ jnp.where(m, -(carry & 1), 0)
-        acc[:] = acc[:] ^ upd
+        for j in range(pack):
+            off = off_ref[b * pack + j]
+            base = (off % nw) * WORD_BITS
+
+            # Bit-granularity parity counts over the band: one-hot cell
+            # rows x suffix fill columns, int8 on the MXU (0/1-exact).
+            accb = jnp.zeros((tc, band), jnp.int32)
+            for s in range(tb_sub):
+                cells_s = cell_ref[0, j * tb_sub + s, :]  # -1 inert
+                xl_s = x_ref[0, j * tb_sub + s, :] - base
+                onehot = (cell_iota == cells_s[None, :]).astype(jnp.int8)
+                fill = (band_iota >= xl_s[None, :]).astype(jnp.int8)
+                accb += jax.lax.dot_general(
+                    onehot, fill,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            # Every live fragment fills through the band's last column,
+            # so that count column is the per-cell carry.
+            carry = accb[:, band - 1:band]
+
+            # Pack band bits into words at lanes [off, off + bwords)
+            # with the batch's prefetched weight panels.
+            bits = (accb & 1).astype(jnp.float32).astype(jnp.bfloat16)
+            lo = jnp.dot(bits, w_refs[2 * j][0],
+                         preferred_element_type=jnp.float32)
+            hi = jnp.dot(bits, w_refs[2 * j + 1][0],
+                         preferred_element_type=jnp.float32)
+            words = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+
+            # Odd per-cell carry flips every word of the sub-tile past
+            # the band; band and suffix lanes are disjoint, other
+            # sub-tiles' lanes XOR with zero.
+            m = (lane2 >= off + bwords) & (lane2 < (off // nw + 1) * nw)
+            acc[:] = acc[:] ^ (words ^ jnp.where(m, -(carry & 1), 0))
 
         @pl.when((flags & FLAG_LAST) != 0)
         def _():
@@ -138,9 +150,10 @@ def _banded_kernel(nw: int, wpad: int, tc: int, tb_sub: int, band: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "num_tiles", "tc", "tb_sub", "band"))
-def _run_banded(local_cells, xs, batch_super, flags, batch_basew, batch_sub,
-                *, n: int, num_tiles: int, tc: int, tb_sub: int, band: int):
+    jax.jit,
+    static_argnames=("n", "num_tiles", "tc", "tb_sub", "band", "pack"))
+def _run_banded(local_cells, xs, step_sf, off, *, n: int, num_tiles: int,
+                tc: int, tb_sub: int, band: int, pack: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -149,15 +162,27 @@ def _run_banded(local_cells, xs, batch_super, flags, batch_basew, batch_sub,
     g = _group_factor(nw, num_tiles)
     num_super = num_tiles // g
     wpad = max(g * nw, TB_LANE)
-    num_batches = local_cells.shape[0]
-    spec3 = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    num_batches = off.shape[0]
+    assert num_batches % pack == 0, "layout pads each supertile to pack"
+    steps = num_batches // pack
+    loc3 = local_cells.reshape(steps, pack * tb_sub, TB_LANE)
+    xs3 = xs.reshape(steps, pack * tb_sub, TB_LANE)
+    wlo, whi = _pack_tables(nw, wpad, band)
+    spec3 = pl.BlockSpec((1, pack * tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+
+    def wmap(j):
+        return lambda b, sf, off: (off[b * pack + j], 0, 0)
+
+    wspecs = []
+    for j in range(pack):
+        wspecs += [pl.BlockSpec((1, band, wpad), wmap(j))] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # batch_super, flags, base_w, sub
-        grid=(num_batches,),
-        in_specs=[spec3, spec3,
+        num_scalar_prefetch=2,  # step (super << 2 | flags), per-batch off
+        grid=(steps,),
+        in_specs=[spec3, spec3, *wspecs,
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec(
-            (1, tc, wpad), lambda b, batch_super, *_: (batch_super[b], 0, 0)
+            (1, tc, wpad), lambda b, sf, off: (sf[b] >> 2, 0, 0)
         ),
         scratch_shapes=[pltpu.VMEM((tc, wpad), jnp.int32)],
     )
@@ -165,16 +190,16 @@ def _run_banded(local_cells, xs, batch_super, flags, batch_basew, batch_sub,
     flops = num_batches * 2 * tb * tc * (band + wpad)
     init = jnp.zeros((num_super, tc, wpad), jnp.uint32)
     out = pl.pallas_call(
-        _banded_kernel(nw, wpad, tc, tb_sub, band),
+        _banded_kernel(nw, wpad, tc, tb_sub, band, pack),
         out_shape=jax.ShapeDtypeStruct((num_super, tc, wpad), jnp.uint32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=num_batches * tb * 8,
             transcendentals=0,
         ),
-        input_output_aliases={6: 0},
+        input_output_aliases={4 + 2 * pack: 0},
         interpret=jax.default_backend() != "tpu",
-    )(batch_super, flags, batch_basew, batch_sub, local_cells, xs, init)
+    )(step_sf, off, loc3, xs3, *([wlo, whi] * pack), init)
     if g > 1 or wpad != nw:
         out = out[:, :, :g * nw]
         # Sub-tiles are consecutive cell runs: (S, tc, g, nw) -> (S, g,
@@ -184,18 +209,18 @@ def _run_banded(local_cells, xs, batch_super, flags, batch_basew, batch_sub,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "num_tiles", "tc",
-                                             "tb_sub", "band"))
-def _banded_total(rows, local, batch_tile, batch_super, flags, batch_basew,
-                  batch_sub, wide, origin, vs, *, n: int, num_tiles: int,
-                  tc: int, tb_sub: int, band: int):
+                                             "tb_sub", "band", "pack"))
+def _banded_total(rows, local, batch_tile, step_sf, off, batch_basew,
+                  wide, origin, vs, *, n: int, num_tiles: int,
+                  tc: int, tb_sub: int, band: int, pack: int):
     xs, local_k = _slot_emit(rows, local, batch_tile, origin, vs, n=n, tc=tc)
     base = batch_basew[:, None, None] * WORD_BITS
     inband = (xs >= base) & (xs < base + band)
     overflow = jnp.sum((local_k >= 0) & ~inband)
     local_k = jnp.where(inband, local_k, -1)
-    words = _run_banded(local_k, xs, batch_super, flags, batch_basew,
-                        batch_sub, n=n, num_tiles=num_tiles, tc=tc,
-                        tb_sub=tb_sub, band=band)
+    words = _run_banded(local_k, xs, step_sf, off, n=n,
+                        num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
+                        band=band, pack=pack)
     if wide is not None:
         (w_rows, w_local, w_tile, w_flags, w_xseg) = wide
         w_xs, w_k = _slot_emit(w_rows, w_local, w_tile, origin, vs,
@@ -255,7 +280,7 @@ class BandedSlotVoxPipeline:
     fragments left their baked bands (vertex drift); rebuild."""
 
     def __init__(self, mesh: Mesh, spec: GridSpec, tc: int = TILE_CELLS,
-                 tb_sub: int = TB_SUB, band: int = BAND):
+                 tb_sub: int = TB_SUB, band: int = BAND, pack: int = 2):
         n = spec.n
         if n % WORD_BITS != 0:
             raise ValueError("pallas vox requires N % 32 == 0")
@@ -264,11 +289,14 @@ class BandedSlotVoxPipeline:
         band = min(band, n)
         if band % WORD_BITS != 0:
             raise ValueError(f"band={band} must be a multiple of 32")
+        if pack < 1:
+            raise ValueError(f"pack={pack} must be >= 1")
         tb = tb_sub * TB_LANE
         self.spec = spec
         self.tc = tc
         self.tb_sub = tb_sub
         self.band = band
+        self.pack = pack
         nw = n // WORD_BITS
         num_tiles = (n * n) // tc
         self.num_tiles = num_tiles
@@ -338,10 +366,34 @@ class BandedSlotVoxPipeline:
                 ends.append(min(s + tb, re))
         if not batch_tile:  # empty narrow set: one inert batch on tile 0
             batch_tile, batch_base, starts, ends = [0], [0], [0], [0]
-        batch_tile = np.asarray(batch_tile, np.int64)
-        batch_base = np.asarray(batch_base, np.int64)
-        starts = np.asarray(starts, np.int64)
-        ends = np.asarray(ends, np.int64)
+
+        # Pad every supertile's batch run to a multiple of `pack` with
+        # inert batches (start == end -> all pad slots), then pair each
+        # grid step with `pack` consecutive batches of one supertile —
+        # per-step machinery and iotas amortize across the pack, which
+        # is the measured fixed-cost floor (BENCH_NOTES round 4).
+        nw = n // WORD_BITS
+        bt2, bb2, st2, en2 = [], [], [], []
+        i = 0
+        while i < len(batch_tile):
+            j = i
+            while j < len(batch_tile) and batch_tile[j] // g == \
+                    batch_tile[i] // g:
+                j += 1
+            bt2 += batch_tile[i:j]
+            bb2 += batch_base[i:j]
+            st2 += starts[i:j]
+            en2 += ends[i:j]
+            for _ in range((-(j - i)) % pack):
+                bt2.append(batch_tile[j - 1])
+                bb2.append(batch_base[j - 1])
+                st2.append(0)
+                en2.append(0)
+            i = j
+        batch_tile = np.asarray(bt2, np.int64)
+        batch_base = np.asarray(bb2, np.int64)
+        starts = np.asarray(st2, np.int64)
+        ends = np.asarray(en2, np.int64)
         bcount = len(batch_tile)
         local_b = _batch_index(starts, ends, local_n, tb, -1)
         tri_b = _batch_index(starts, ends, t_n, tb, 0)
@@ -349,24 +401,31 @@ class BandedSlotVoxPipeline:
         self.num_slots = bcount * tb
 
         # FIRST/LAST at SUPERTILE granularity (the accumulator spans a
-        # whole output panel of g sub-tiles).
+        # whole output panel of g sub-tiles), rolled up per STEP and
+        # packed with the supertile id into one prefetch scalar — four
+        # separate (B,) SMEM arrays overflowed the 1 MB scalar memory
+        # at ~70K batches.
         batch_super = (batch_tile // g).astype(np.int64)
-        first = np.empty(bcount, bool)
+        super_s = batch_super[::pack]
+        nsteps = len(super_s)
+        first = np.empty(nsteps, bool)
         first[0] = True
-        first[1:] = batch_super[1:] != batch_super[:-1]
-        last = np.empty(bcount, bool)
+        first[1:] = super_s[1:] != super_s[:-1]
+        last = np.empty(nsteps, bool)
         last[-1] = True
-        last[:-1] = batch_super[:-1] != batch_super[1:]
-        flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int32)
+        last[:-1] = super_s[:-1] != super_s[1:]
+        flags = (first * FLAG_FIRST + last * FLAG_LAST).astype(np.int64)
 
         self.rows, self.local = _slot_rows(tri_b, local_b, v0, v1, v2,
                                            tb_sub)
         self.batch_tile = jnp.asarray(batch_tile.astype(np.int32))
-        self.batch_super = jnp.asarray(batch_super.astype(np.int32))
-        self.batch_sub = jnp.asarray((batch_tile % g).astype(np.int32))
+        self.step_sf = jnp.asarray(
+            ((super_s << 2) | flags).astype(np.int32))
+        self.off = jnp.asarray(
+            ((batch_tile % g) * nw + batch_base // WORD_BITS)
+            .astype(np.int32))
         self.batch_basew = jnp.asarray(
             (batch_base // WORD_BITS).astype(np.int32))
-        self.flags = jnp.asarray(flags)
 
         # --- wide fallback: whole-axis batches on the plain suffix
         # kernel (empty for typical surface meshes -> skipped in jit).
@@ -393,10 +452,11 @@ class BandedSlotVoxPipeline:
         origin = jnp.asarray(self.spec.origin, jnp.float32)
         vs = jnp.float32(self.spec.voxel_size)
         return _banded_total(self.rows, self.local, self.batch_tile,
-                             self.batch_super, self.flags, self.batch_basew,
-                             self.batch_sub, self.wide, origin, vs,
+                             self.step_sf, self.off, self.batch_basew,
+                             self.wide, origin, vs,
                              n=self.spec.n, num_tiles=self.num_tiles,
-                             tc=self.tc, tb_sub=self.tb_sub, band=self.band)
+                             tc=self.tc, tb_sub=self.tb_sub, band=self.band,
+                             pack=self.pack)
 
     def __call__(self) -> VoxelGrid:
         words, overflow = self.words()
