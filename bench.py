@@ -474,8 +474,12 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
         from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
 
         band = int(os.environ.get("BENCH_BAND", "256"))
+        # Measured sweet spots (probe_banded, 2026-08-19): pack=4 wins
+        # at 1024 (supertiles hold many batches); pack=2 at 2048 (pack
+        # padding eats deeper packing there).
+        pack = int(os.environ.get("BENCH_PACK", "4" if n <= 1024 else "2"))
         t0 = _t.time()
-        bpipe = BandedSlotVoxPipeline(mesh, spec, band=band)
+        bpipe = BandedSlotVoxPipeline(mesh, spec, band=band, pack=pack)
         bbuild_s = _t.time() - t0
         bwords, bovf = bpipe.words()  # compile + overflow check
         assert int(bovf) == 0
@@ -487,7 +491,7 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
 
         dt_band = time_device_fn(brun, iters=it)
         print(f"# vox_total_banded n={n} faces={mesh.num_faces} "
-              f"total={dt_band*1e3:.2f}ms band={band} "
+              f"total={dt_band*1e3:.2f}ms band={band} pack={pack} "
               f"slots={bpipe.num_slots} wide={bpipe.num_wide} "
               f"batches={bpipe.num_batches} build={bbuild_s:.1f}s "
               f"xor_vs_event={xor_pop_b}", file=sys.stderr)

@@ -89,6 +89,13 @@ def main() -> int:
         got = np.asarray(SlotVoxPipeline(mesh, spec)().to_dense())
         np.testing.assert_array_equal(got, occ_ref)
 
+    def vox_banded():
+        from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
+
+        pipe = BandedSlotVoxPipeline(mesh, spec, band=64, pack=2)
+        got = np.asarray(pipe().to_dense())
+        np.testing.assert_array_equal(got, occ_ref)
+
     spec32 = GridSpec(n=32, origin=(0.1, -0.2, 0.3), voxel_size=1.0 / 32)
     zz, yy, xx = np.indices((32, 32, 32))
     ball = ((zz - 15.5) ** 2 + (yy - 15.5) ** 2 + (xx - 15.5) ** 2
@@ -185,6 +192,7 @@ def main() -> int:
     check("vox_pallas_work_queue@64", vox_wq)
     check("vox_device_total@64", vox_total)
     check("vox_slot_total@64", vox_slots)
+    check("vox_banded_total@64", vox_banded)
     check("jfa_pallas_fused@32", jfa_fused)
     check("jfa_pallas_stepped@32", jfa_stepped)
     check("jfa_pipe_vs_legacy@32", jfa_pipe_ab)
