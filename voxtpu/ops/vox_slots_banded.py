@@ -303,7 +303,6 @@ class BandedSlotVoxPipeline:
         g = _group_factor(nw, num_tiles)
         self.group = g
         self.num_super = num_tiles // g
-        npan = -(-n // _PANEL)
 
         tri, cell, v0, v1, v2 = _exact_candidates(mesh, spec)
         self.num_candidates = cell.shape[0]
@@ -316,54 +315,37 @@ class BandedSlotVoxPipeline:
         c_w, t_w = cell[~narrow], tri[~narrow]
         self.num_wide = c_w.shape[0]
 
-        # --- narrow layout: grouped by (tile, x-panel of window start),
-        # then adjacent panel groups of a tile MERGE while their real
-        # [min xlo, max xhi] span fits one band from a 32-aligned base —
-        # per-group batch remainders were 1.5-1.8x padding without it.
-        pb = (xlo[t_n] // _PANEL).astype(np.int64) if len(t_n) else \
+        # --- narrow layout: slots sorted by (tile, window start), then
+        # greedy slot-level batch cuts: a batch takes up to tb
+        # consecutive slots whose windows fit one band from the first
+        # slot's 32-aligned base, cutting early at the first violator.
+        # (Round-4 iteration: (tile, x-panel) grouping plus group-level
+        # merging left 1.5-1.8x batch padding from per-group
+        # remainders; slot-level cuts only pay a remainder per tile
+        # plus one per genuine span break.)
+        order = np.lexsort((xlo[t_n], c_n // tc)) if len(t_n) else \
             np.zeros((0,), np.int64)
-        group = (c_n // tc) * npan + pb
-        order = np.argsort(group, kind="stable")
-        group = group[order]
         c_n, t_n = c_n[order], t_n[order]
         local_n = (c_n % tc).astype(np.int32)
-        gstart = np.concatenate(
-            [[0], np.nonzero(group[1:] != group[:-1])[0] + 1]) \
-            if len(group) else np.zeros((0,), np.int64)
-        gid = group[gstart] if len(group) else gstart
-        gends = np.concatenate([gstart[1:], [len(group)]]).astype(np.int64)
-        glo = (np.minimum.reduceat(xlo[t_n], gstart)
-               if len(gstart) else gstart)
-        ghi = (np.maximum.reduceat(xhi[t_n], gstart)
-               if len(gstart) else gstart)
-        gtile = gid // npan
-
-        # Greedy run merge over the (sorted) active groups.
-        run_start, run_base, run_tile = [], [], []
-        run_end = []
-        i = 0
-        while i < len(gid):
-            lo = int(glo[i])
-            hi = int(ghi[i])
-            base = min((lo // WORD_BITS) * WORD_BITS, n - band)
-            j = i + 1
-            while (j < len(gid) and gtile[j] == gtile[i]
-                   and max(hi, int(ghi[j])) < base + band):
-                hi = max(hi, int(ghi[j]))
-                j += 1
-            run_start.append(int(gstart[i]))
-            run_end.append(int(gends[j - 1]))
-            run_base.append(base)
-            run_tile.append(int(gtile[i]))
-            i = j
-
+        xlo_s = xlo[t_n]
+        xhi_s = xhi[t_n]
+        tile_s = (c_n // tc).astype(np.int64)
+        tbounds = np.searchsorted(tile_s,
+                                  np.arange(num_tiles + 1, dtype=np.int64))
         batch_tile, batch_base, starts, ends = [], [], [], []
-        for rs, re, rb, rt in zip(run_start, run_end, run_base, run_tile):
-            for s in range(rs, re, tb):
-                batch_tile.append(rt)
-                batch_base.append(rb)
-                starts.append(s)
-                ends.append(min(s + tb, re))
+        for t in np.nonzero(np.diff(tbounds))[0]:
+            i, b1 = int(tbounds[t]), int(tbounds[t + 1])
+            while i < b1:
+                base = min((int(xlo_s[i]) // WORD_BITS) * WORD_BITS,
+                           n - band)
+                w_end = min(i + tb, b1)
+                viol = xhi_s[i:w_end] >= base + band
+                k0 = i + int(np.argmax(viol)) if viol.any() else w_end
+                batch_tile.append(int(t))
+                batch_base.append(base)
+                starts.append(i)
+                ends.append(k0)
+                i = k0
         if not batch_tile:  # empty narrow set: one inert batch on tile 0
             batch_tile, batch_base, starts, ends = [0], [0], [0], [0]
 
