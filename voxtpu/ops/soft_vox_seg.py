@@ -184,8 +184,8 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
         # ~4.3 GB HBM temps at 1024^3 (the round-4 battery OOM). The
         # second half is zero past the grid's last column (the forward's
         # shift-by-64 truncation of family B's tail).
-        h1 = jnp.where(p0 + PANEL <= n, g1_ref[0], jnp.float32(0.0))
-        g_panel = jnp.concatenate([g0_ref[0], h1], axis=1)
+        h1 = jnp.where(p0 + PANEL <= n, g1_ref[0, 0], jnp.float32(0.0))
+        g_panel = jnp.concatenate([g0_ref[0, 0], h1], axis=1)
         gpre = gp_ref[0, 0]  # (1, tc): sum of g over columns < p0
 
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
@@ -382,17 +382,24 @@ def _seg_bwd_rule(cfg, res, g):
     ty = tc // tz
     pr = jnp.asarray(np.asarray(prm, np.float32))
 
-    g_t = g.reshape(n // tz, tz, n // ty, ty, n).transpose(
-        0, 2, 1, 3, 4).reshape(nt, tc, n)
+    # One materialized rearrangement of the cotangent: square-tile rows
+    # x 64-column lattice blocks, (nt, n/64, tc, 64). The trailing
+    # (tc, 64) block shape keeps Mosaic's last-two-dims rule (64 ==
+    # the array's last dim; a (1, tc, 64) block over (nt, tc, n) is
+    # rejected on hardware — interpret mode does not check this).
+    g_t64 = g.reshape(n // tz, tz, n // ty, ty, n // LATTICE,
+                      LATTICE).transpose(0, 2, 4, 1, 3, 5).reshape(
+                          nt, n // LATTICE, tc, LATTICE)
     if xt:
         # Pad batches read the extra tiles' zero cotangents -> zero dtab.
-        g_t = jnp.concatenate([g_t, jnp.zeros((xt, tc, n), g.dtype)])
+        g_t64 = jnp.concatenate(
+            [g_t64, jnp.zeros((xt, n // LATTICE, tc, LATTICE), g.dtype)])
     nt_o = nt + xt
-    gs = g_t.reshape(nt_o, tc, n // LATTICE, LATTICE).sum(-1)
+    gs = g_t64.sum(-1)                                   # (nt_o, n/64, tc)
     gpre = jnp.concatenate(
-        [jnp.zeros((nt_o, tc, 1), g.dtype),
-         jnp.cumsum(gs, axis=-1)[:, :, :-1]], axis=-1)   # exclusive prefix
-    gpre = gpre.transpose(0, 2, 1)[:, :, None, :]        # (nt_o, n/64, 1, tc)
+        [jnp.zeros((nt_o, 1, tc), g.dtype),
+         jnp.cumsum(gs, axis=1)[:, :-1]], axis=1)        # exclusive prefix
+    gpre = gpre[:, :, None, :]                           # (nt_o, n/64, 1, tc)
 
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     dtab = pl.pallas_call(
@@ -404,14 +411,14 @@ def _seg_bwd_rule(cfg, res, g):
                 slot, slot,
                 pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, tc, LATTICE),
+                pl.BlockSpec((1, 1, tc, LATTICE),
                              lambda b, bt, p0, fl:
-                             (bt[b], 0, p0[b] // LATTICE)),
-                pl.BlockSpec((1, tc, LATTICE),
+                             (bt[b], p0[b] // LATTICE, 0, 0)),
+                pl.BlockSpec((1, 1, tc, LATTICE),
                              lambda b, bt, p0, fl:
-                             (bt[b], 0,
+                             (bt[b],
                               jnp.minimum(p0[b] // LATTICE + 1,
-                                          n // LATTICE - 1))),
+                                          n // LATTICE - 1), 0, 0)),
                 pl.BlockSpec((1, 1, 1, tc),
                              lambda b, bt, p0, fl:
                              (bt[b], p0[b] // LATTICE, 0, 0)),
@@ -426,7 +433,7 @@ def _seg_bwd_rule(cfg, res, g):
         ),
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
-      g_t, g_t, gpre)
+      g_t64, g_t64, gpre)
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
