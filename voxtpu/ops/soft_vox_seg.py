@@ -91,7 +91,9 @@ def _seg_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
     ty = tc // tz
 
     def kernel(bt_ref, p0_ref, fl_ref, cell_ref, idx_ref, tab_ref, prm_ref,
+               inita_ref, initb_ref, initc_ref,
                outa_ref, outb_ref, carry_ref, accp, accc):
+        del inita_ref, initb_ref, initc_ref  # zero-init aliases
         b = pl.program_id(0)
         tile = bt_ref[b]
         p0 = p0_ref[b]
@@ -300,6 +302,15 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
     nblk = n // PANEL
     pr = jnp.asarray(np.asarray(prm, np.float32))
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
+    # Unvisited blocks keep the aliased zeros (Pallas outputs are
+    # otherwise uninitialized): the three mask where-passes this
+    # replaces each cost a full extra output buffer in HBM — at 1024^3
+    # they pushed the fwd+bwd jit past the chip (round-4c battery).
+    # The mask arrays still arrive from the plan; they are redundant.
+    del mask_a, mask_b, mask_c
+    init_a = jnp.zeros((nt_out, nblk + 1, tc, PANEL), jnp.float32)
+    init_b = jnp.zeros((nt_out, nblk + 1, tc, PANEL), jnp.float32)
+    init_c = jnp.zeros((nt_out, n // LATTICE, 1, tc), jnp.float32)
     out_a, out_b, carry = pl.pallas_call(
         _seg_fwd_kernel(n, tc, tb_sub, tbl, tz),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -309,6 +320,9 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                 slot, slot,
                 pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, tc, PANEL),
@@ -329,17 +343,13 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
             jax.ShapeDtypeStruct((nt_out, nblk + 1, tc, PANEL), jnp.float32),
             jax.ShapeDtypeStruct((nt_out, n // LATTICE, 1, tc), jnp.float32),
         ],
+        input_output_aliases={7: 0, 8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr)
-
-    # Unvisited blocks carry garbage (Pallas outputs are uninitialized);
-    # extra_tiles rows are the pad batches' dump and are dropped here.
-    out_a = jnp.where(mask_a[:, :, None, None], out_a, 0.0)
-    out_b = jnp.where(mask_b[:, :, None, None], out_b, 0.0)
-    carry = jnp.where(mask_c[:, :, None, None], carry, 0.0)
+    )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
+      init_a, init_b, init_c)
 
     a_t = out_a[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
     b_t = out_b[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
