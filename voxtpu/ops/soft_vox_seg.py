@@ -171,23 +171,30 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
     ty = tc // tz
 
     def kernel(bt_ref, p0_ref, fl_ref, cell_ref, idx_ref, tab_ref, prm_ref,
-               g0_ref, g1_ref, gp_ref, dtab_ref):
+               ga_ref, gb_ref, gp_ref, dtab_ref):
         b = pl.program_id(0)
         tile = bt_ref[b]
         p0 = p0_ref[b]
         ox, oy, oz = prm_ref[0], prm_ref[1], prm_ref[2]
         vs, tau_e, tau_x = prm_ref[3], prm_ref[4], prm_ref[5]
 
-        # The batch's cotangent panel is g_t columns [p0, p0 + PANEL)
-        # for BOTH families (family B's out_b block j covers occ
-        # columns [128j + 64, 128j + 192) = [p0, p0 + 128)), fetched as
-        # two 64-column lattice blocks straight from g_t — materializing
-        # per-family (nt, nblk, tc, PANEL) transposes of g_t cost five
-        # ~4.3 GB HBM temps at 1024^3 (the round-4 battery OOM). The
-        # second half is zero past the grid's last column (the forward's
+        # The batch's cotangent panel is g columns [p0, p0 + PANEL) of
+        # its tile for BOTH families (family B's out_b block j covers
+        # occ columns [128j + 64, 128j + 192) = [p0, p0 + 128)). It is
+        # fetched as one or two 128-column panel blocks of g_pan —
+        # materializing per-family (nt, nblk, tc, PANEL) transposes of
+        # the cotangent cost five ~4.3 GB HBM temps at 1024^3, and a
+        # 64-lane-minor (nt, n/64, tc, 64) layout pads 2x under the
+        # (8, 128) f32 tiling (both round-4 battery OOMs). Family B
+        # splices the two panels' halves with STATIC lane slices; the
+        # upper half is zero past the grid's last column (the forward's
         # shift-by-64 truncation of family B's tail).
-        h1 = jnp.where(p0 + PANEL <= n, g1_ref[0, 0], jnp.float32(0.0))
-        g_panel = jnp.concatenate([g0_ref[0, 0], h1], axis=1)
+        fam_b = (p0 // LATTICE) % 2
+        ga = ga_ref[0, 0]                                 # (tc, PANEL)
+        gb = jnp.where(p0 + PANEL <= n, gb_ref[0, 0], jnp.float32(0.0))
+        shifted = jnp.concatenate([ga[:, LATTICE:], gb[:, :LATTICE]],
+                                  axis=1)
+        g_panel = jnp.where(fam_b == 0, ga, shifted)
         gpre = gp_ref[0, 0]  # (1, tc): sum of g over columns < p0
 
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, TB_LANE), 0)
@@ -393,19 +400,21 @@ def _seg_bwd_rule(cfg, res, g):
     pr = jnp.asarray(np.asarray(prm, np.float32))
 
     # One materialized rearrangement of the cotangent: square-tile rows
-    # x 64-column lattice blocks, (nt, n/64, tc, 64). The trailing
-    # (tc, 64) block shape keeps Mosaic's last-two-dims rule (64 ==
-    # the array's last dim; a (1, tc, 64) block over (nt, tc, n) is
-    # rejected on hardware — interpret mode does not check this).
-    g_t64 = g.reshape(n // tz, tz, n // ty, ty, n // LATTICE,
-                      LATTICE).transpose(0, 2, 4, 1, 3, 5).reshape(
-                          nt, n // LATTICE, tc, LATTICE)
+    # x 128-column panel blocks, (nt, n/128, tc, 128). 128-lane-minor
+    # keeps both Mosaic's last-two-dims block rule AND the (8, 128) f32
+    # tiling unpadded (a 64-minor layout pads 2x -> 8 GB at 1024^3;
+    # interpret mode checks neither).
+    g_pan = g.reshape(n // tz, tz, n // ty, ty, n // PANEL,
+                      PANEL).transpose(0, 2, 4, 1, 3, 5).reshape(
+                          nt, n // PANEL, tc, PANEL)
     if xt:
         # Pad batches read the extra tiles' zero cotangents -> zero dtab.
-        g_t64 = jnp.concatenate(
-            [g_t64, jnp.zeros((xt, n // LATTICE, tc, LATTICE), g.dtype)])
+        g_pan = jnp.concatenate(
+            [g_pan, jnp.zeros((xt, n // PANEL, tc, PANEL), g.dtype)])
     nt_o = nt + xt
-    gs = g_t64.sum(-1)                                   # (nt_o, n/64, tc)
+    # Per-64-lattice-block column sums, as (nt_o, n/64, tc).
+    gs = g_pan.reshape(nt_o, n // PANEL, tc, 2, LATTICE).sum(-1)
+    gs = gs.transpose(0, 1, 3, 2).reshape(nt_o, n // LATTICE, tc)
     gpre = jnp.concatenate(
         [jnp.zeros((nt_o, 1, tc), g.dtype),
          jnp.cumsum(gs, axis=1)[:, :-1]], axis=1)        # exclusive prefix
@@ -421,14 +430,14 @@ def _seg_bwd_rule(cfg, res, g):
                 slot, slot,
                 pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, tc, LATTICE),
+                pl.BlockSpec((1, 1, tc, PANEL),
                              lambda b, bt, p0, fl:
-                             (bt[b], p0[b] // LATTICE, 0, 0)),
-                pl.BlockSpec((1, 1, tc, LATTICE),
+                             (bt[b], p0[b] // PANEL, 0, 0)),
+                pl.BlockSpec((1, 1, tc, PANEL),
                              lambda b, bt, p0, fl:
                              (bt[b],
-                              jnp.minimum(p0[b] // LATTICE + 1,
-                                          n // LATTICE - 1), 0, 0)),
+                              jnp.minimum(p0[b] // PANEL + 1,
+                                          n // PANEL - 1), 0, 0)),
                 pl.BlockSpec((1, 1, 1, tc),
                              lambda b, bt, p0, fl:
                              (bt[b], p0[b] // LATTICE, 0, 0)),
@@ -443,7 +452,7 @@ def _seg_bwd_rule(cfg, res, g):
         ),
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
-      g_t64, g_t64, gpre)
+      g_pan, g_pan, gpre)
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
