@@ -190,8 +190,8 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
         # upper half is zero past the grid's last column (the forward's
         # shift-by-64 truncation of family B's tail).
         fam_b = (p0 // LATTICE) % 2
-        ga = ga_ref[0, 0]                                 # (tc, PANEL)
-        gb = jnp.where(p0 + PANEL <= n, gb_ref[0, 0], jnp.float32(0.0))
+        ga = ga_ref[0]                                    # (tc, PANEL)
+        gb = jnp.where(p0 + PANEL <= n, gb_ref[0], jnp.float32(0.0))
         shifted = jnp.concatenate([ga[:, LATTICE:], gb[:, :LATTICE]],
                                   axis=1)
         g_panel = jnp.where(fam_b == 0, ga, shifted)
@@ -399,26 +399,24 @@ def _seg_bwd_rule(cfg, res, g):
     ty = tc // tz
     pr = jnp.asarray(np.asarray(prm, np.float32))
 
-    # One materialized rearrangement of the cotangent: square-tile rows
-    # x 128-column panel blocks, (nt, n/128, tc, 128). 128-lane-minor
-    # keeps both Mosaic's last-two-dims block rule AND the (8, 128) f32
-    # tiling unpadded (a 64-minor layout pads 2x -> 8 GB at 1024^3;
+    # ONE materialized rearrangement of the cotangent: the square-tile
+    # row layout (nt, tc, n) — its minor dim n keeps the (8, 128) f32
+    # tiling unpadded, and the kernel blocks it at (1, tc, PANEL) grain
+    # (last block dim 128 satisfies Mosaic's last-two-dims rule; a
+    # 64-minor block or a 64-minor 4D array both fail on hardware —
+    # rejected block shape / 2x = 8 GB tile-padding respectively, and
     # interpret mode checks neither).
-    g_pan = g.reshape(n // tz, tz, n // ty, ty, n // PANEL,
-                      PANEL).transpose(0, 2, 4, 1, 3, 5).reshape(
-                          nt, n // PANEL, tc, PANEL)
+    g_t = g.reshape(n // tz, tz, n // ty, ty, n).transpose(
+        0, 2, 1, 3, 4).reshape(nt, tc, n)
     if xt:
         # Pad batches read the extra tiles' zero cotangents -> zero dtab.
-        g_pan = jnp.concatenate(
-            [g_pan, jnp.zeros((xt, n // PANEL, tc, PANEL), g.dtype)])
+        g_t = jnp.concatenate([g_t, jnp.zeros((xt, tc, n), g.dtype)])
     nt_o = nt + xt
-    # Per-64-lattice-block column sums, as (nt_o, n/64, tc).
-    gs = g_pan.reshape(nt_o, n // PANEL, tc, 2, LATTICE).sum(-1)
-    gs = gs.transpose(0, 1, 3, 2).reshape(nt_o, n // LATTICE, tc)
+    gs = g_t.reshape(nt_o, tc, n // LATTICE, LATTICE).sum(-1)
     gpre = jnp.concatenate(
-        [jnp.zeros((nt_o, 1, tc), g.dtype),
-         jnp.cumsum(gs, axis=1)[:, :-1]], axis=1)        # exclusive prefix
-    gpre = gpre[:, :, None, :]                           # (nt_o, n/64, 1, tc)
+        [jnp.zeros((nt_o, tc, 1), g.dtype),
+         jnp.cumsum(gs, axis=-1)[:, :, :-1]], axis=-1)   # exclusive prefix
+    gpre = gpre.transpose(0, 2, 1)[:, :, None, :]        # (nt_o, n/64, 1, tc)
 
     slot = pl.BlockSpec((1, tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
     dtab = pl.pallas_call(
@@ -430,14 +428,14 @@ def _seg_bwd_rule(cfg, res, g):
                 slot, slot,
                 pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, tc, PANEL),
+                pl.BlockSpec((1, tc, PANEL),
                              lambda b, bt, p0, fl:
-                             (bt[b], p0[b] // PANEL, 0, 0)),
-                pl.BlockSpec((1, 1, tc, PANEL),
+                             (bt[b], 0, p0[b] // PANEL)),
+                pl.BlockSpec((1, tc, PANEL),
                              lambda b, bt, p0, fl:
-                             (bt[b],
+                             (bt[b], 0,
                               jnp.minimum(p0[b] // PANEL + 1,
-                                          n // PANEL - 1), 0, 0)),
+                                          n // PANEL - 1))),
                 pl.BlockSpec((1, 1, 1, tc),
                              lambda b, bt, p0, fl:
                              (bt[b], p0[b] // LATTICE, 0, 0)),
@@ -452,7 +450,7 @@ def _seg_bwd_rule(cfg, res, g):
         ),
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
-      g_pan, g_pan, gpre)
+      g_t, g_t, gpre)
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
