@@ -262,7 +262,11 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
             jnp.concatenate(da_l, axis=1),                  # (16, tb)
             jnp.concatenate(ot_l, axis=1),                  # (tbl, tb)
             (((1,), (1,)), ((), ())), 1)                    # (16, TBL)
-        dtab_ref[0] = dtab.T
+        # Written NATTR-major: a (tbl, 16) output block pads 8x under
+        # the (8, 128) f32 tiling (two ~3.8 GB buffers at 1024^3); the
+        # (16, tbl) layout is unpadded and also drops the in-kernel
+        # transpose. The caller transposes once outside.
+        dtab_ref[0] = dtab
 
     return kernel
 
@@ -440,10 +444,10 @@ def _seg_bwd_rule(cfg, res, g):
                              lambda b, bt, p0, fl:
                              (bt[b], p0[b] // LATTICE, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, tbl, NATTR),
+            out_specs=pl.BlockSpec((1, NATTR, tbl),
                                    lambda b, *_: (b, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_batches, tbl, NATTR),
+        out_shape=jax.ShapeDtypeStruct((num_batches, NATTR, tbl),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -451,6 +455,7 @@ def _seg_bwd_rule(cfg, res, g):
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
       g_t, g_t, gpre)
+    dtab = dtab.transpose(0, 2, 1)  # back to the (B, TBL, NATTR) tables
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
