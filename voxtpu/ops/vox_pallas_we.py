@@ -198,7 +198,11 @@ def _run_we(cells, ws, his, masks, cnts, batch_tile, flags, *,
     return out[:num_super, :, :g * num_words]
 
 
-_SENT = jnp.uint32(0xFFFFFFFF)
+# Host-side constant: a module-level DEVICE array would be deleted by
+# bench._hbm_recover()'s live-array sweep (tests run it in-process) and
+# later traces that embed it as a compile-time constant would raise
+# "Array has been deleted" (round-5 suite failure).
+_SENT = np.uint32(0xFFFFFFFF)
 _BLOCK = 512   # candidates per compaction block (one axis-sort row)
 _ROW = 16      # compaction granularity: 64-byte row gathers, not elements
 
