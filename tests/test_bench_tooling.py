@@ -67,3 +67,21 @@ def test_benchmarks_runner_in_process(tmp_path, monkeypatch):
     assert "xla_vox__processing" in rows[0]
     assert len(rows) == 3  # header + 2 iterations
     assert all(r[0] == "32" for r in rows[1:])
+
+
+def test_grid_digest_detects_single_bit_flips():
+    """The 4096^3 path verifies banded-vs-event equivalence by digest
+    (two 8.6 GB grids cannot coexist in HBM): equal grids must agree,
+    and any single-bit difference must flip the digest."""
+    import numpy as np
+
+    import bench
+
+    rng = np.random.default_rng(7)
+    words = rng.integers(0, 2**32, size=(8, 8, 2), dtype=np.uint32)
+    d0 = tuple(int(x) for x in bench._grid_digest(words))
+    assert d0 == tuple(int(x) for x in bench._grid_digest(words.copy()))
+    for z, y, w, b in [(0, 0, 0, 0), (7, 3, 1, 31), (4, 7, 0, 13)]:
+        flipped = words.copy()
+        flipped[z, y, w] ^= np.uint32(1 << b)
+        assert tuple(int(x) for x in bench._grid_digest(flipped)) != d0

@@ -16,6 +16,8 @@ from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
     ("sphere_mesh", 96, 96, 1),    # non-pow2 N, odd group, unpacked
     ("d20_mesh", 128, 128, 2),     # 20 huge triangles -> wide routing
     ("bunny_mesh", 256, 128, 4),   # 4 batches per grid step
+    ("torus_mesh", 256, 160, 2),   # non-pow2 band off the 32-aligned
+                                   # fits test (round 5)
 ])
 def test_banded_pipeline_bit_parity(request, fixture, n, band, pack):
     mesh = request.getfixturevalue(fixture)

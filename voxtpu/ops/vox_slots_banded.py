@@ -29,12 +29,13 @@ each batch fills only a BAND-column window:
   with the zero-init output alias, so no tile-mask or slice pass
   follows the kernel.
 
-Triangles whose window cannot fit a band — x extent wider than
-BAND - 128, or an x-degenerate plane (normal_x ~ 0) whose f32
-intersection error exceeds the +-1-cell window margin — are routed to
-a whole-axis fallback on the plain suffix kernel and XOR-merged (word
-XOR is one cheap fused pass, and for surface meshes the wide set is
-empty so the pass is skipped statically).
+Triangles whose error-widened window cannot fit a band from its
+32-aligned base — x extent + 2 x (1 + ceil(f32 error)) margin wider
+than BAND - 32, which in practice means x-degenerate planes
+(normal_x ~ 0, unbounded error) — are routed to a whole-axis fallback
+on the plain suffix kernel and XOR-merged (word XOR is one cheap fused
+pass, and for surface meshes the wide set is empty so the pass is
+skipped statically).
 
 Same bit-parity contract as `SlotVoxPipeline`: the emit arithmetic is
 `emit_fragments` verbatim, parity addition is exact, and the pack
@@ -61,8 +62,7 @@ from voxtpu.ops.vox_pallas_we import _group_factor
 from voxtpu.ops.vox_slots import (_batch_index, _exact_candidates,
                                   _slot_emit, _slot_rows)
 
-BAND = 256      # fill window columns (multiple of 32; >= 128 + max extent)
-_PANEL = 128    # x-panel stride for static window grouping
+BAND = 256      # fill window columns (multiple of 32; >= 32 + max extent)
 
 
 def _pack_tables(nw: int, wpad: int, band: int):
@@ -233,23 +233,26 @@ def _banded_total(rows, local, batch_tile, step_sf, off, batch_basew,
 
 
 def _triangle_x_windows(v0, v1, v2, spec: GridSpec):
-    """Per-triangle x-entry cell windows [xlo, xhi] (inclusive, +-1-cell
-    margin) and the f32 intersection error bound in cells.
+    """Per-triangle x-entry cell windows [xlo, xhi] (inclusive) with an
+    ADAPTIVE margin of 1 + ceil(err) cells, err the f32 intersection
+    error bound in cells (also returned).
 
     The entry `x = int((intersection - ox)/vs)` lies in the triangle's
     x bbox in exact arithmetic (the plane over an inside point is a
     convex combination of the vertices); in f32 the evaluated
-    `(D - B*cy - C*cz)/A` errs by ~eps * (|D| + |B cy| + |C cz|)/|A|,
-    which blows up for x-degenerate triangles (A = normal_x ~ 0) — the
-    error bound routes those to the whole-axis path."""
+    `(D - B*cy - C*cz)/A` errs by ~eps * (|D| + |B cy| + |C cz|)/|A|.
+    err grows as 1/voxel_size, so a FIXED +-1 margin stops covering it
+    at large N (at 4096^3 on the bunny ladder 1.3% of candidates
+    exceeded it, and each wide candidate pays a whole-axis batch plus a
+    second full-grid buffer) — widening the window instead keeps those
+    triangles on the banded path; only x-degenerate triangles
+    (A = normal_x ~ 0, err unbounded) stay wide via the fits test."""
     n = spec.n
     ox = np.float64(spec.origin[0])
     vs = np.float64(spec.voxel_size)
     f0, f1, f2 = (np.asarray(v, np.float64) for v in (v0, v1, v2))
     xmin = np.minimum(np.minimum(f0[:, 0], f1[:, 0]), f2[:, 0])
     xmax = np.maximum(np.maximum(f0[:, 0], f1[:, 0]), f2[:, 0])
-    xlo = np.clip(np.floor((xmin - ox) / vs).astype(np.int64) - 1, 0, n - 1)
-    xhi = np.clip(np.floor((xmax - ox) / vs).astype(np.int64) + 1, 0, n - 1)
     u = f1 - f0
     t = f2 - f0
     A = u[:, 1] * t[:, 2] - u[:, 2] * t[:, 1]
@@ -261,9 +264,22 @@ def _triangle_x_windows(v0, v1, v2, spec: GridSpec):
     cy = max(abs(oy), abs(oy + n * vs))
     cz = max(abs(oz), abs(oz + n * vs))
     num = np.abs(D) + np.abs(B) * cy + np.abs(C) * cz
-    # 4x safety over f32 eps; the +-1-cell window margin absorbs <= 0.5.
+    # 4x safety over f32 eps.
     err_cells = 8e-7 * num / np.maximum(np.abs(A), 1e-300) / vs
     err_cells = np.where(A == 0.0, 0.0, err_cells)  # inf x -> invalid anyway
+    # Adaptive margin: x_f64 = int((intersection - ox)/vs) lies in
+    # [floor(xmin'), floor(xmax')] exactly, and an f32 error of e cells
+    # moves the int cast by at most ceil(e) cells — so ceil(err) is the
+    # margin, floored at the round-4 +-1 (which measured xor=0 across
+    # the whole ladder while err <= 0.5). Capped at n so the int64 cast
+    # is safe even for err ~ 1/|A| blowups (those triangles never pass
+    # the fits test anyway).
+    margin = np.maximum(
+        1, np.ceil(np.minimum(err_cells, n)).astype(np.int64))
+    xlo = np.clip(np.floor((xmin - ox) / vs).astype(np.int64) - margin,
+                  0, n - 1)
+    xhi = np.clip(np.floor((xmax - ox) / vs).astype(np.int64) + margin,
+                  0, n - 1)
     return xlo, xhi, err_cells
 
 
@@ -307,8 +323,18 @@ class BandedSlotVoxPipeline:
         tri, cell, v0, v1, v2 = _exact_candidates(mesh, spec)
         self.num_candidates = cell.shape[0]
         xlo, xhi, err = _triangle_x_windows(v0, v1, v2, spec)
-        base_t = np.minimum((xlo // _PANEL) * _PANEL, n - band)
-        fits = (xhi < base_t + band) & (err <= 0.5)
+        # The greedy batch layout below starts every band at the batch's
+        # first slot's 32-ALIGNED window base, so a triangle is narrow
+        # iff its (error-widened) window fits a band from that base —
+        # the round-4 PANEL(128)-aligned test carried 96 extra columns
+        # of alignment slack, forcing band >= extent + 128 where
+        # extent + 32 is enough. The tighter test lets band shrink
+        # toward the mesh's real x extents (fill/pack/operand cost all
+        # scale with band). No separate err cutoff: the adaptive window
+        # margin absorbs the f32 error, and x-degenerate triangles
+        # (err ~ n) fail this test and route wide.
+        base_t = np.minimum((xlo // WORD_BITS) * WORD_BITS, n - band)
+        fits = xhi < base_t + band
 
         narrow = fits[tri]
         c_n, t_n = cell[narrow], tri[narrow]
