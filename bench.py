@@ -811,9 +811,11 @@ def _battery() -> int:
         dict(BENCH_OP="jfa", BENCH_N="256", JFA_PIPE="0"),
         dict(BENCH_OP="jfa", BENCH_N="512", JFA_PIPE="1"),
         dict(BENCH_OP="jfa", BENCH_N="512", JFA_PIPE="0"),
-        # 4. Large-N tail (most OOM/time risk last).
+        # 4. Large-N tail (most OOM/time risk last; the 4096^3 item
+        # runs in its OWN process — round-4 battery: its
+        # RESOURCE_EXHAUSTED poisoned the chip for the rest of the
+        # process. scripts/tpu_battery_r5.sh runs it after this matrix).
         dict(BENCH_N="2048", BENCH_ITERS="5", BENCH_OP="voxtotal"),
-        dict(BENCH_N="4096", BENCH_ITERS="2", BENCH_OP="voxtotal"),
         dict(BENCH_OP="jfa", BENCH_N="1024", BENCH_ITERS="2",
              JFA_PIPE="1"),
         # 5. CSG reference point (cheap; rides the warm cache).

@@ -222,13 +222,23 @@ def _banded_total(rows, local, batch_tile, step_sf, off, batch_basew,
                         num_tiles=num_tiles, tc=tc, tb_sub=tb_sub,
                         band=band, pack=pack)
     if wide is not None:
-        (w_rows, w_local, w_tile, w_flags, w_xseg) = wide
-        w_xs, w_k = _slot_emit(w_rows, w_local, w_tile, origin, vs,
+        # COMPACT wide output: the fallback touches few tiles, and a
+        # full-grid second buffer would double HBM (8.6 GB at 4096^3).
+        # Batches write renumbered tile blocks (k of them); the merge
+        # gathers those k rows of the banded grid, XORs, and scatters
+        # back (XLA aliases the scatter in place — the grid is a fresh
+        # intermediate with no other consumer).
+        (w_rows, w_local, w_rtile, w_ctile, w_flags, w_xseg,
+         w_uidx) = wide
+        w_xs, w_k = _slot_emit(w_rows, w_local, w_rtile, origin, vs,
                                n=n, tc=tc)
-        w_words = _run_pallas(w_k, w_xs, w_tile, w_flags, w_xseg,
-                              n=n, num_tiles=num_tiles, tc=tc,
+        w_words = _run_pallas(w_k, w_xs, w_ctile, w_flags, w_xseg,
+                              n=n, num_tiles=w_uidx.shape[0], tc=tc,
                               tb_sub=tb_sub, seg=None)
-        words = words ^ w_words.reshape(n, n, n // WORD_BITS)
+        nw = n // WORD_BITS
+        wt = words.reshape(num_tiles, tc, nw)
+        wt = wt.at[w_uidx].set(wt[w_uidx] ^ w_words)
+        words = wt.reshape(n, n, nw)
     return words, overflow
 
 
@@ -438,21 +448,34 @@ class BandedSlotVoxPipeline:
         # --- wide fallback: whole-axis batches on the plain suffix
         # kernel (empty for typical surface meshes -> skipped in jit).
         if self.num_wide:
+            # Whole-axis batches over a COMPACT tile set: the wide
+            # candidates touch k << num_tiles tiles, so the fallback
+            # kernel writes a (k, tc, nw) buffer that the call XOR-
+            # scatters into the banded grid — never a second full grid
+            # (8.6 GB at 4096^3, where x-degenerate triangles keep the
+            # wide set nonempty).
             orderw = np.argsort(c_w // tc, kind="stable")
             c_w, t_w = c_w[orderw], t_w[orderw]
             local_w = (c_w % tc).astype(np.int32)
-            bw = np.searchsorted(c_w // tc,
-                                 np.arange(num_tiles + 1, dtype=np.int64))
-            w_tiles, w_starts, w_flags, w_ends, _wm, _ = tile_batches(bw, tb)
+            tiles_w = c_w // tc
+            uidx = np.unique(tiles_w)
+            k = len(uidx)
+            compact_w = np.searchsorted(uidx, tiles_w)
+            bw = np.searchsorted(compact_w,
+                                 np.arange(k + 1, dtype=np.int64))
+            w_ctiles, w_starts, w_flags, w_ends, _wm, _ = tile_batches(
+                bw, tb)
             w_local_b = _batch_index(w_starts, w_ends, local_w, tb, -1)
             w_tri_b = _batch_index(w_starts, w_ends, t_w, tb, 0)
             w_rows, w_local = _slot_rows(w_tri_b, w_local_b, v0, v1, v2,
                                          tb_sub)
             self.wide = (w_rows, w_local,
-                         jnp.asarray(w_tiles.astype(np.int32)),
+                         jnp.asarray(uidx[w_ctiles].astype(np.int32)),
+                         jnp.asarray(w_ctiles.astype(np.int32)),
                          jnp.asarray(w_flags),
-                         jnp.zeros((len(w_tiles),), jnp.int32))
-            self.num_batches += len(w_tiles)
+                         jnp.zeros((len(w_ctiles),), jnp.int32),
+                         jnp.asarray(uidx.astype(np.int32)))
+            self.num_batches += len(w_ctiles)
         else:
             self.wide = None
 
