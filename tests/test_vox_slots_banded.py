@@ -18,6 +18,9 @@ from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
     ("bunny_mesh", 256, 128, 4),   # 4 batches per grid step
     ("torus_mesh", 256, 160, 2),   # non-pow2 band off the 32-aligned
                                    # fits test (round 5)
+    ("bunny_mesh", 256, 64, 2),    # minimum-band per-candidate windows
+    ("d20_mesh", 256, 64, 4),      # huge triangles on tiny bands: the
+                                   # per-candidate windows must hold
 ])
 def test_banded_pipeline_bit_parity(request, fixture, n, band, pack):
     mesh = request.getfixturevalue(fixture)
@@ -73,8 +76,11 @@ def test_banded_layout_invariants(bunny_mesh):
     ends = np.concatenate([supers[1:] != supers[:-1], [True]])
     np.testing.assert_array_equal((sf & 1) != 0, starts)
     np.testing.assert_array_equal((sf & 2) != 0, ends)
-    # The packed lane offset carries (sub-tile, base word).
-    np.testing.assert_array_equal(off, (bt % g) * nw + bw)
+    # The byte-packed lane offset carries (sub-tile, base word);
+    # four batches per int32 word (SMEM budget at large batch counts).
+    idx = np.arange(len(bt))
+    off_b = (off[idx >> 2] >> (8 * (idx & 3))) & 0xFF
+    np.testing.assert_array_equal(off_b, (bt % g) * nw + bw)
     # Bands lie inside the axis.
     assert (bw >= 0).all()
     assert (bw * 32 + pipe.band <= n).all()

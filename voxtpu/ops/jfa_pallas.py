@@ -415,15 +415,16 @@ def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int,
 def jfa_pallas(occ, spec: GridSpec):
     """Signed squared distance field via VMEM-tiled Pallas flood steps.
 
-    N <= 512 runs as one fused jit; N = 1024 dispatches per flood step
-    (the whole-flood jit keeps every step's 4 GB output live — beyond a
-    single 16 GB chip). For N > 1024 the packed 10-bit seed layout no
-    longer fits an int32 AND the wide (hi, lo) pair's 6 source-plane
-    blocks (3 z-planes x 2 arrays, 16.8 MB each at 2048) exceed VMEM —
-    such grids also exceed one chip's HBM (2048^3 seeds alone = 34 GB),
-    so this backend delegates them to the stepped wide XLA flood
-    (`voxtpu.ops.jfa.jfa_xla_stepped`); memory, not encoding, is then
-    the only limit, and multi-chip grids belong to the Z-sharded path
+    N <= 512 runs as one fused jit. N >= 1024 delegates to the stepped
+    wide XLA flood (`voxtpu.ops.jfa.jfa_xla_stepped`): at 1024 the
+    flood kernel's ~26 live candidate planes demand 151.6M of scoped
+    VMEM — past the v5e's physical 128M (round-5 battery; the
+    JFA_PALLAS_1024=1 knob keeps the per-step pallas dispatch for
+    larger-VMEM chips) — and above 1024 the packed 10-bit seed layout
+    no longer fits an int32 AND the wide (hi, lo) pair's 6 source-plane
+    blocks (3 z-planes x 2 arrays, 16.8 MB each at 2048) exceed VMEM
+    regardless. Memory, not encoding, is then the only limit, and
+    multi-chip grids belong to the Z-sharded path
     (`voxtpu.parallel.sharded_jfa`).
     """
     import os
@@ -439,7 +440,15 @@ def jfa_pallas(occ, spec: GridSpec):
     # z-grid. Kept for A/B and as the documented negative result
     # (BENCH_NOTES round 4); the three-plane kernel is the default.
     pipe = os.environ.get("JFA_PIPE", "0") == "1"
-    if spec.n > 1024:
+    if spec.n > 1024 or (
+            spec.n > 512 and os.environ.get("JFA_PALLAS_1024", "0") != "1"):
+        # 1024^3 routes here too (round 5): the flood kernel's ~26 live
+        # candidate planes demand 151.6M of scoped VMEM at 1024 — past
+        # the v5e's PHYSICAL 128M, so no vmem_limit raise can admit it
+        # (the round-4 127M raise predated a hardware compile; both
+        # round-4 and round-5 batteries failed there). A y-half-blocked
+        # kernel would fit but is unbuilt; JFA_PALLAS_1024=1 keeps the
+        # per-step dispatch for chips with more VMEM.
         from voxtpu.ops.jfa import jfa_xla_stepped
 
         return jfa_xla_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)

@@ -108,7 +108,7 @@ def _seg_fwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
         xi = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, PANEL), 1)
         cxp = ox + ((p0 + xi).astype(jnp.float32) * vs + vs * 0.5)
 
-        table_t = tab_ref[0].T  # (16, TBL)
+        table_t = tab_ref[0]  # (16, TBL), NATTR-major in HBM
         planes = _byte_planes(table_t)
 
         # Per-sub-batch VPU math stays 128-lane; the accumulate
@@ -202,7 +202,7 @@ def _seg_bwd_kernel(n: int, tc: int, tb_sub: int, tbl: int, tz: int):
         xi = jax.lax.broadcasted_iota(jnp.int32, (TB_LANE, PANEL), 1)
         cxp = ox + ((p0 + xi).astype(jnp.float32) * vs + vs * 0.5)
 
-        table_t = tab_ref[0].T
+        table_t = tab_ref[0]  # (16, TBL), NATTR-major in HBM
         planes = _byte_planes(table_t)
 
         # Stacked MXU dots (see fwd kernel): the slot gradient gather
@@ -287,7 +287,14 @@ def _b_block(p0, nblk):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _seg_accumulate(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                     mask_a, mask_b, mask_c, cfg):
-    """(B, TBL, 16) tables -> (n, n, n) occupancy.
+    """(B, 16, TBL) tables (NATTR-major) -> (n, n, n) occupancy.
+
+    NATTR-major because pallas operands must sit in the default layout:
+    a 16-minor (B, TBL, 16) array tiles to (8, 128) with 16 live lanes
+    — 8x HBM padding, 3.3 GB of the round-5 fwd+bwd OOM at 1024^3. The
+    kernels index attributes by row anyway (they used to transpose the
+    block in VMEM).
+
     cfg = hashable (n, tc, tb_sub, tbl, tz, num_batches, prm
     [, extra_tiles]) — `extra_tiles` (default 0) appends masked dummy
     output-tile rows for sharded layouts' pad batches (the masks must
@@ -329,7 +336,7 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
             grid=(num_batches,),
             in_specs=[
                 slot, slot,
-                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
@@ -430,7 +437,7 @@ def _seg_bwd_rule(cfg, res, g):
             grid=(num_batches,),
             in_specs=[
                 slot, slot,
-                pl.BlockSpec((1, tbl, NATTR), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, NATTR, tbl), lambda b, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, tc, PANEL),
                              lambda b, bt, p0, fl:
@@ -455,7 +462,6 @@ def _seg_bwd_rule(cfg, res, g):
         interpret=jax.default_backend() != "tpu",
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
       g_t, g_t, gpre)
-    dtab = dtab.transpose(0, 2, 1)  # back to the (B, TBL, NATTR) tables
     return (dtab, _float0(batch_tile), _float0(batch_p0), _float0(flags),
             _float0(cells_b), _float0(tblidx_b), _float0(mask_a),
             _float0(mask_b), _float0(mask_c))
@@ -747,7 +753,10 @@ def soft_voxelize_seg(coords, plan: SegSoftPlan, *,
         [coeffs, jnp.zeros((1, NATTR), jnp.float32)], axis=0)
     tables = _expand_rows(coeffs, plan.fidx_d, plan.expand_cls_d,
                           plan.expand_inv_d)
-    tables_t = tables.reshape(plan.num_batches, plan.tbl, NATTR)
+    # NATTR-major for the kernels: 16-minor would pad 8x in HBM under
+    # pallas's default-layout requirement (see _seg_accumulate).
+    tables_t = tables.reshape(
+        plan.num_batches, plan.tbl, NATTR).transpose(0, 2, 1)
 
     prm = (float(spec.origin[0]), float(spec.origin[1]),
            float(spec.origin[2]), float(vs), float(tau_e), float(tau_x))

@@ -42,16 +42,17 @@ requires a rebuild (windows and slot coords are baked).  Memory scales
 with candidates (~4M at 512^3 / 1.35M faces -> ~250 MB of slot
 coords); use `DeviceVoxPipeline` above n = 2048 or when HBM is tight.
 
-Why the cap stays at 2048 (round-4 decision, VERDICT r3 next #4):
-candidate count tracks covered surface CELLS, so 4096^3 on the 1.35M-
-face bunny is ~64x the 512^3 count (~267M candidates). Nine f32 slot
-arrays = ~9.6 GB of layout on top of the 8.6 GB packed output — past a
-16 GB chip even before ping-pong buffers, and the layout would have to
-cross the tunnel's H2D at init (the 390 MB 10.8M-face plan already
-costs ~80 s).  Per-supertile slot SEGMENTS would cut resident layout
-S-fold but not the H2D or the host-side build; the event pipeline
-(whose per-call state is ~26 B/event x 17M events) is the measured
-4096 path instead (`BENCH_OP=voxtotal BENCH_N=4096`).
+Why THIS pipeline's cap stays at 2048 (round-4 decision, updated round
+5): its whole-axis fill loses the per-batch cost race above 1024
+anyway, and at 4096^3 the measured candidate count is 66M (the round-4
+~267M estimate extrapolated the 512 -> 1024 growth, but per-triangle
+candidate overhead dominates once triangles shrink below a cell) —
+still ~3.6 GB of slot layout whose per-batch fill would span 32 output
+panels.  The BANDED slot pipeline (`vox_slots_banded.py`, same slot
+machinery with BAND-column windows) is the production total path at
+1024-4096; the event pipeline (whose per-call state is ~26 B/event x
+17M events) remains the dynamic-layout comparison
+(`BENCH_OP=voxtotal BENCH_N=4096` measures both).
 """
 
 from __future__ import annotations

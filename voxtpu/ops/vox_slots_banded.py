@@ -7,11 +7,16 @@ a (TC, TB) @ (TB, N) fill spanning 16 output panels plus an end-of-tile
 bit-pack over all N columns, while most batches' fragments enter within
 a ~100-column x-band.
 
-This pipeline adds the missing static structure: a triangle's x-entry
-is confined to its x bounding box (`vox/sequential.cpp:40-60` computes
-the plane intersection, which lies inside the triangle), so candidates
-can be grouped at init by (YZ tile, x-PANEL of the window start) and
-each batch fills only a BAND-column window:
+This pipeline adds the missing static structure: a candidate cell's
+x-entry is ONE point — the plane intersection at that cell's center
+(`vox/sequential.cpp:40-60`) — which the host evaluates in f64 at init
+and widens by the f32 evaluation-error bound, giving each candidate a
+window a few cells wide regardless of the triangle's x extent
+(round 5; round 4 used per-triangle x-bbox windows, which forced
+band >= extent + alignment and routed big triangles wide). Slots sort
+by (YZ tile, window start), greedy cuts pack up to TB consecutive
+slots whose windows share one 32-aligned base, and each batch fills
+only a BAND-column window:
 
 - Per batch the kernel builds bit-granularity parity counts over BAND
   columns (the usual one-hot x fill matmuls, K = TB, N = BAND), packs
@@ -29,13 +34,13 @@ each batch fills only a BAND-column window:
   with the zero-init output alias, so no tile-mask or slice pass
   follows the kernel.
 
-Triangles whose error-widened window cannot fit a band from its
-32-aligned base — x extent + 2 x (1 + ceil(f32 error)) margin wider
-than BAND - 32, which in practice means x-degenerate planes
-(normal_x ~ 0, unbounded error) — are routed to a whole-axis fallback
-on the plain suffix kernel and XOR-merged (word XOR is one cheap fused
-pass, and for surface meshes the wide set is empty so the pass is
-skipped statically).
+Candidates whose error-widened window cannot fit a band from its
+32-aligned base — 2 x ceil(err) + 1 + alignment wider than BAND, which
+in practice means x-degenerate planes (normal_x ~ 0, unbounded error)
+— are routed to a whole-axis fallback on the plain suffix kernel
+writing a COMPACT per-touched-tile buffer that is XOR-scattered into
+the banded grid (never a second full grid; for typical surface meshes
+the wide set is empty and the pass is skipped statically).
 
 Same bit-parity contract as `SlotVoxPipeline`: the emit arithmetic is
 `emit_fragments` verbatim, parity addition is exact, and the pack
@@ -62,7 +67,10 @@ from voxtpu.ops.vox_pallas_we import _group_factor
 from voxtpu.ops.vox_slots import (_batch_index, _exact_candidates,
                                   _slot_emit, _slot_rows)
 
-BAND = 256      # fill window columns (multiple of 32; >= 32 + max extent)
+# Fill window columns (multiple of 32; >= 32 + 2*ceil(err) + 1). With
+# per-candidate windows the floor is set by 32-alignment + the error
+# margin, not triangle extents; sweep 64-256 on hardware per N.
+BAND = 256
 
 
 def _pack_tables(nw: int, wpad: int, band: int):
@@ -87,6 +95,26 @@ def _pack_tables(nw: int, wpad: int, band: int):
     return (jnp.asarray(lo, jnp.bfloat16), jnp.asarray(hi, jnp.bfloat16))
 
 
+def _off_at(off_ref, i):
+    """Per-batch word-lane offset, unpacked from the byte-packed scalar
+    array. off < wpad <= 128 fits a byte, and four per int32 word keeps
+    the prefetch arrays inside the 1 MB SMEM at large batch counts (the
+    4096^3 layout's 232K batches overflowed it as plain int32 —
+    round-5 battery; same failure class as the round-4 four-array
+    overflow at ~70K)."""
+    return (off_ref[i >> 2] >> (8 * (i & 3))) & 0xFF
+
+
+def _pack_off(off: np.ndarray) -> np.ndarray:
+    """Little-endian byte-pack of per-batch offsets into int32 words."""
+    assert off.min(initial=0) >= 0 and off.max(initial=0) < 256
+    pad = (-len(off)) % 4
+    b = np.concatenate([off, np.zeros(pad, off.dtype)]).astype(np.uint32)
+    b = b.reshape(-1, 4)
+    packed = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    return packed.view(np.int32)
+
+
 def _banded_kernel(nw: int, wpad: int, tc: int, tb_sub: int, band: int,
                    pack: int):
     from jax.experimental import pallas as pl
@@ -107,7 +135,7 @@ def _banded_kernel(nw: int, wpad: int, tc: int, tb_sub: int, band: int,
         band_iota = jax.lax.broadcasted_iota(jnp.int32, (band, TB_LANE), 0)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (tc, wpad), 1)
         for j in range(pack):
-            off = off_ref[b * pack + j]
+            off = _off_at(off_ref, b * pack + j)
             base = (off % nw) * WORD_BITS
 
             # Bit-granularity parity counts over the band: one-hot cell
@@ -162,7 +190,7 @@ def _run_banded(local_cells, xs, step_sf, off, *, n: int, num_tiles: int,
     g = _group_factor(nw, num_tiles)
     num_super = num_tiles // g
     wpad = max(g * nw, TB_LANE)
-    num_batches = off.shape[0]
+    num_batches = local_cells.shape[0]
     assert num_batches % pack == 0, "layout pads each supertile to pack"
     steps = num_batches // pack
     loc3 = local_cells.reshape(steps, pack * tb_sub, TB_LANE)
@@ -171,7 +199,7 @@ def _run_banded(local_cells, xs, step_sf, off, *, n: int, num_tiles: int,
     spec3 = pl.BlockSpec((1, pack * tb_sub, TB_LANE), lambda b, *_: (b, 0, 0))
 
     def wmap(j):
-        return lambda b, sf, off: (off[b * pack + j], 0, 0)
+        return lambda b, sf, off: (_off_at(off, b * pack + j), 0, 0)
 
     wspecs = []
     for j in range(pack):
@@ -242,55 +270,63 @@ def _banded_total(rows, local, batch_tile, step_sf, off, batch_basew,
     return words, overflow
 
 
-def _triangle_x_windows(v0, v1, v2, spec: GridSpec):
-    """Per-triangle x-entry cell windows [xlo, xhi] (inclusive) with an
-    ADAPTIVE margin of 1 + ceil(err) cells, err the f32 intersection
-    error bound in cells (also returned).
+def _candidate_x_windows(tri, cell, v0, v1, v2, spec: GridSpec):
+    """PER-CANDIDATE x-entry cell windows [xlo, xhi] (inclusive).
 
-    The entry `x = int((intersection - ox)/vs)` lies in the triangle's
-    x bbox in exact arithmetic (the plane over an inside point is a
-    convex combination of the vertices); in f32 the evaluated
-    `(D - B*cy - C*cz)/A` errs by ~eps * (|D| + |B cy| + |C cz|)/|A|.
-    err grows as 1/voxel_size, so a FIXED +-1 margin stops covering it
-    at large N (at 4096^3 on the bunny ladder 1.3% of candidates
-    exceeded it, and each wide candidate pays a whole-axis batch plus a
-    second full-grid buffer) — widening the window instead keeps those
-    triangles on the banded path; only x-degenerate triangles
-    (A = normal_x ~ 0, err unbounded) stay wide via the fits test."""
+    The entry `x = int((intersection - ox)/vs)` is a single point per
+    candidate cell, not a triangle-bbox range: the host evaluates each
+    candidate's plane intersection in f64 and widens it by
+    max(1, ceil(err)) cells, err the per-triangle f32 evaluation error
+    bound — in f32 `(D - B*cy - C*cz)/A` errs by
+    ~eps * (|D| + |B cy| + |C cz|)/|A| cells (4x safety applied), which
+    also covers the f32-rounded cell centers (the |B cy| + |C cz| terms
+    bound exactly that contribution).
+
+    Per-candidate windows beat the round-4 per-triangle x-bbox windows
+    two ways: window width is O(err) instead of O(triangle x extent),
+    so band shrinks toward the 32-alignment floor and huge triangles
+    stop straddling bands (fill/pack/operand cost all scale with band);
+    and err no longer routes anything wide by itself — only
+    x-degenerate planes (A = normal_x ~ 0, err ~ n) fail the fits test.
+    NaN/inf intersections (A == 0) get err = inf -> a full-width window
+    -> wide; their fragments are invalid at emit either way."""
     n = spec.n
     ox = np.float64(spec.origin[0])
+    oy = np.float64(spec.origin[1])
+    oz = np.float64(spec.origin[2])
     vs = np.float64(spec.voxel_size)
     f0, f1, f2 = (np.asarray(v, np.float64) for v in (v0, v1, v2))
-    xmin = np.minimum(np.minimum(f0[:, 0], f1[:, 0]), f2[:, 0])
-    xmax = np.maximum(np.maximum(f0[:, 0], f1[:, 0]), f2[:, 0])
     u = f1 - f0
     t = f2 - f0
     A = u[:, 1] * t[:, 2] - u[:, 2] * t[:, 1]
     B = u[:, 2] * t[:, 0] - u[:, 0] * t[:, 2]
     C = u[:, 0] * t[:, 1] - u[:, 1] * t[:, 0]
     D = A * f0[:, 0] + B * f0[:, 1] + C * f0[:, 2]
-    oy = np.float64(spec.origin[1])
-    oz = np.float64(spec.origin[2])
-    cy = max(abs(oy), abs(oy + n * vs))
-    cz = max(abs(oz), abs(oz + n * vs))
-    num = np.abs(D) + np.abs(B) * cy + np.abs(C) * cz
-    # 4x safety over f32 eps.
-    err_cells = 8e-7 * num / np.maximum(np.abs(A), 1e-300) / vs
-    err_cells = np.where(A == 0.0, 0.0, err_cells)  # inf x -> invalid anyway
-    # Adaptive margin: x_f64 = int((intersection - ox)/vs) lies in
-    # [floor(xmin'), floor(xmax')] exactly, and an f32 error of e cells
-    # moves the int cast by at most ceil(e) cells — so ceil(err) is the
-    # margin, floored at the round-4 +-1 (which measured xor=0 across
-    # the whole ladder while err <= 0.5). Capped at n so the int64 cast
-    # is safe even for err ~ 1/|A| blowups (those triangles never pass
-    # the fits test anyway).
+    cyb = max(abs(oy), abs(oy + n * vs))
+    czb = max(abs(oz), abs(oz + n * vs))
+    num = np.abs(D) + np.abs(B) * cyb + np.abs(C) * czb
+    # 4x safety over f32 eps; A == 0 -> inf (wide; invalid at emit).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        err_cells = np.where(
+            A == 0.0, np.inf,
+            8e-7 * num / np.maximum(np.abs(A), 1e-300) / vs)
     margin = np.maximum(
         1, np.ceil(np.minimum(err_cells, n)).astype(np.int64))
-    xlo = np.clip(np.floor((xmin - ox) / vs).astype(np.int64) - margin,
-                  0, n - 1)
-    xhi = np.clip(np.floor((xmax - ox) / vs).astype(np.int64) + margin,
-                  0, n - 1)
-    return xlo, xhi, err_cells
+
+    ys = (cell % n).astype(np.float64)
+    zs = (cell // n).astype(np.float64)
+    cy = oy + (ys * vs + vs / 2)
+    cz = oz + (zs * vs + vs / 2)
+    At, Bt, Ct, Dt = A[tri], B[tri], C[tri], D[tri]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xf = ((Dt - Bt * cy - Ct * cz) / At - ox) / vs
+    xcell = np.where(np.isfinite(xf),
+                     np.floor(np.clip(xf, -1.0, float(n))), 0.0)
+    xcell = xcell.astype(np.int64)
+    mt = margin[tri]
+    xlo = np.clip(xcell - mt, 0, n - 1)
+    xhi = np.clip(xcell + mt, 0, n - 1)
+    return xlo, xhi
 
 
 class BandedSlotVoxPipeline:
@@ -332,21 +368,15 @@ class BandedSlotVoxPipeline:
 
         tri, cell, v0, v1, v2 = _exact_candidates(mesh, spec)
         self.num_candidates = cell.shape[0]
-        xlo, xhi, err = _triangle_x_windows(v0, v1, v2, spec)
+        xlo_c, xhi_c = _candidate_x_windows(tri, cell, v0, v1, v2, spec)
         # The greedy batch layout below starts every band at the batch's
-        # first slot's 32-ALIGNED window base, so a triangle is narrow
-        # iff its (error-widened) window fits a band from that base —
-        # the round-4 PANEL(128)-aligned test carried 96 extra columns
-        # of alignment slack, forcing band >= extent + 128 where
-        # extent + 32 is enough. The tighter test lets band shrink
-        # toward the mesh's real x extents (fill/pack/operand cost all
-        # scale with band). No separate err cutoff: the adaptive window
-        # margin absorbs the f32 error, and x-degenerate triangles
-        # (err ~ n) fail this test and route wide.
-        base_t = np.minimum((xlo // WORD_BITS) * WORD_BITS, n - band)
-        fits = xhi < base_t + band
-
-        narrow = fits[tri]
+        # first slot's 32-ALIGNED window base, so a candidate is narrow
+        # iff its (error-widened) window fits a band from that base.
+        # Per-candidate windows (round 5) are O(err) wide regardless of
+        # the triangle's x extent, so only x-degenerate planes
+        # (err ~ n) route wide.
+        base_c = np.minimum((xlo_c // WORD_BITS) * WORD_BITS, n - band)
+        narrow = xhi_c < base_c + band
         c_n, t_n = cell[narrow], tri[narrow]
         c_w, t_w = cell[~narrow], tri[~narrow]
         self.num_wide = c_w.shape[0]
@@ -359,12 +389,13 @@ class BandedSlotVoxPipeline:
         # merging left 1.5-1.8x batch padding from per-group
         # remainders; slot-level cuts only pay a remainder per tile
         # plus one per genuine span break.)
-        order = np.lexsort((xlo[t_n], c_n // tc)) if len(t_n) else \
+        xlo_n, xhi_n = xlo_c[narrow], xhi_c[narrow]
+        order = np.lexsort((xlo_n, c_n // tc)) if len(t_n) else \
             np.zeros((0,), np.int64)
         c_n, t_n = c_n[order], t_n[order]
         local_n = (c_n % tc).astype(np.int32)
-        xlo_s = xlo[t_n]
-        xhi_s = xhi[t_n]
+        xlo_s = xlo_n[order]
+        xhi_s = xhi_n[order]
         tile_s = (c_n // tc).astype(np.int64)
         tbounds = np.searchsorted(tile_s,
                                   np.arange(num_tiles + 1, dtype=np.int64))
@@ -439,9 +470,9 @@ class BandedSlotVoxPipeline:
         self.batch_tile = jnp.asarray(batch_tile.astype(np.int32))
         self.step_sf = jnp.asarray(
             ((super_s << 2) | flags).astype(np.int32))
-        self.off = jnp.asarray(
+        self.off = jnp.asarray(_pack_off(
             ((batch_tile % g) * nw + batch_base // WORD_BITS)
-            .astype(np.int32))
+            .astype(np.int32)))
         self.batch_basew = jnp.asarray(
             (batch_base // WORD_BITS).astype(np.int32))
 

@@ -195,7 +195,10 @@ def make_sharded_fit_seg(soft_plan, coords0, device_mesh: Mesh,
             [triangle_coeffs(tri), jnp.zeros((1, NATTR), jnp.float32)])
         tables = _expand_rows(coeffs, a["fidx_flat"], a["expand_cls"],
                               a["expand_inv"])
-        tables = tables.reshape(n_shards, meta["b_max"], tbl, NATTR)
+        # NATTR-major for the kernels (see _seg_accumulate): 16-minor
+        # pads 8x in HBM under pallas's default-layout requirement.
+        tables = tables.reshape(
+            n_shards, meta["b_max"], tbl, NATTR).transpose(0, 1, 3, 2)
         tables = jax.lax.with_sharding_constraint(
             tables, NamedSharding(device_mesh, P(("d", "z"))))
         return sharded_loss(tables, target_slab, *a["layout"])
