@@ -496,10 +496,11 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
                   "reporting the event total", file=sys.stderr)
         del swords
 
-    # Banded slot pipeline (round 4): per-batch fill spans a BAND-column
-    # x-window instead of all N — the large-N candidate. Measured where
-    # the whole-axis fill starts losing (>= 1024 by default).
-    banded_ns = os.environ.get("BENCH_BANDED", "1024,2048,4096")
+    # Banded slot pipeline: per-batch fill spans a BAND-column x-window
+    # instead of all N. With round-5's per-candidate windows it wins at
+    # EVERY ladder size (r5c/r5d sweeps, all xor=0): 0.56 ms @256,
+    # 2.12 @512, 12.50 @1024, 50.96 @2048, 108.3 @4096.
+    banded_ns = os.environ.get("BENCH_BANDED", "256,512,1024,2048,4096")
     if str(n) in banded_ns.split(","):
         from voxtpu.ops.vox_slots_banded import BandedSlotVoxPipeline
 
@@ -511,11 +512,16 @@ def _report_vox_total(mesh, spec, n, iters, headline: bool):
             del pipe, run
             _hbm_recover()
 
-        band = int(os.environ.get("BENCH_BAND", "256"))
-        # Measured sweet spots (probe_banded, 2026-08-19): pack=4 wins
-        # at 1024 (supertiles hold many batches); pack=2 at 2048+ (pack
-        # padding eats deeper packing there).
-        pack = int(os.environ.get("BENCH_PACK", "4" if n <= 1024 else "2"))
+        # Swept optima (battery r5c/r5d, 2026-08-19). 4096 keeps the
+        # measured band=256 until a tuned sweep lands (margins grow
+        # with N, so narrow bands push more candidates wide there —
+        # and a 4096 whole-axis wide batch costs ~0.5 GFLOP each).
+        _band_default = {256: 64, 512: 128, 1024: 96, 2048: 128}
+        band = int(os.environ.get(
+            "BENCH_BAND", str(_band_default.get(n, 256))))
+        # pack=4 everywhere except 4096: its ~1.8 batches/supertile
+        # would pad ~2x at pack=4 (measured 108.3 ms at 256:2).
+        pack = int(os.environ.get("BENCH_PACK", "2" if n >= 4096 else "4"))
         t0 = _t.time()
         bpipe = BandedSlotVoxPipeline(mesh, spec, band=band, pack=pack)
         bbuild_s = _t.time() - t0

@@ -171,6 +171,29 @@ def test_stepped_wide_matches_fused():
     np.testing.assert_array_equal(stepped, fused)
 
 
+def test_stepped_wide_loop_matches_fused():
+    """The >1024 wide stepped loop (round 5 moved <=1024 to donated
+    packed steps) must still equal the single-jit wide flood — driven
+    directly at small N since the public route now picks packed."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.jfa import (_final_wide_jit, _init_wide_jit,
+                                _step_wide_jit)
+
+    occ = _ball_occ(32)
+    spec = GridSpec(n=32, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 32)
+    fused = np.asarray(jfa(occ, spec, backend="xla", encoding="wide"))
+    hi, lo = _init_wide_jit(jnp_occ(occ), n=32)
+    k = 16
+    while k >= 1:
+        hi, lo = _step_wide_jit(hi, lo, k=k, n=32)
+        k //= 2
+    stepped = np.asarray(_final_wide_jit(
+        hi, lo, jnp_occ(occ), jnp.asarray(spec.origin, jnp.float32),
+        jnp.float32(spec.voxel_size), n=32))
+    np.testing.assert_array_equal(stepped, fused)
+
+
 def jnp_occ(occ):
     import jax.numpy as jnp
 

@@ -294,7 +294,8 @@ def _init_wide_jit(occ, *, n: int):
     return jfa_init_seed_wide(occ)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n"))
+@functools.partial(jax.jit, static_argnames=("k", "n"),
+                   donate_argnums=(0, 1))
 def _step_wide_jit(hi, lo, *, k: int, n: int):
     zz, yy, xx = _int_coords((n, n, n))
     return _flood_step_seed_wide(hi, lo, k, n, zz, yy, xx)
@@ -307,18 +308,48 @@ def _final_wide_jit(hi, lo, occ, origin, vs, *, n: int):
     return sign * _seed_d2_wide(hi, lo, origin, vs, px, py, pz)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _init_packed_jit(occ, *, n: int):
+    return jfa_init_seed(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"),
+                   donate_argnums=(0,))
+def _step_packed_jit(seed, origin, vs, *, k: int, n: int):
+    px, py, pz = _corner_coords(n, origin, vs)
+    return _flood_step_seed(seed, k, n, origin, vs, px, py, pz)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _final_packed_jit(seed, occ, origin, vs, *, n: int):
+    px, py, pz = _corner_coords(n, origin, vs)
+    sign = jnp.where(occ, jnp.float32(1), jnp.float32(-1))
+    return sign * _seed_d2(seed, origin, vs, px, py, pz)
+
+
 def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
-    """Wide-encoding JFA with per-step dispatch: one jit per flood step,
-    so each step's buffers free before the next (a single whole-flood
-    jit keeps every step's output live in XLA's buffer assignment —
-    beyond HBM for the large grids this path exists for). Single-chip
-    memory is the only limit, as in the reference (`jfa/naive.cu:160`).
+    """JFA with per-step dispatch and donated flood state: one jit per
+    flood step, so each step's buffers free before the next (a single
+    whole-flood jit keeps every step's output live in XLA's buffer
+    assignment — beyond HBM for the large grids this path exists for).
+    N <= 1024 uses the packed one-int32 seed (donation makes a step's
+    peak ~2 grids + fused temps — the wide pair's undonated 4 x 4 GB
+    at 1024^3 plus pred temps OOM'd a 16 GB chip, round-5 battery);
+    larger grids use the wide (hi, lo) encoding. Single-chip memory is
+    the only limit, as in the reference (`jfa/naive.cu:160`).
     """
     if n > 16384:
         raise ValueError("wide seeds compare exact int32 voxel distances "
                          "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
+    if n <= 1024:
+        seed = _init_packed_jit(occ, n=n)
+        k = n // 2
+        while k >= 1:
+            seed = _step_packed_jit(seed, origin, vs, k=k, n=n)
+            k //= 2
+        return _final_packed_jit(seed, occ, origin, vs, n=n)
     hi, lo = _init_wide_jit(occ, n=n)
     k = n // 2
     while k >= 1:

@@ -423,6 +423,12 @@ def _seg_bwd_rule(cfg, res, g):
         # Pad batches read the extra tiles' zero cotangents -> zero dtab.
         g_t = jnp.concatenate([g_t, jnp.zeros((xt, tc, n), g.dtype)])
     nt_o = nt + xt
+    # g_t feeds TWO pallas operands (panel j and the family-B splice's
+    # j+1). Without the barrier XLA REMATERIALIZES the whole cotangent
+    # producer fusion once per operand — two 4 GB copies at 1024^3, the
+    # difference between fitting and the round-5 17.58G OOM. The
+    # barrier pins one materialization that both operands alias.
+    g_t = jax.lax.optimization_barrier(g_t)
     gs = g_t.reshape(nt_o, tc, n // LATTICE, LATTICE).sum(-1)
     gpre = jnp.concatenate(
         [jnp.zeros((nt_o, tc, 1), g.dtype),
