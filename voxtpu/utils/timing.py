@@ -18,10 +18,15 @@ import jax.numpy as jnp
 
 
 def _sync(value) -> None:
-    """Force execution with a scalar-sized device->host read."""
+    """Force execution with a scalar-sized device->host read.
+
+    Indexes element [0, ...] rather than reshaping: an eager reshape of
+    the value is a full-copy XLA program (no donation outside jit), which
+    transiently DOUBLES the output's HBM — at 1024^3 f32 outputs that 4 GB
+    copy was part of the round-5 jfa@1024 RESOURCE_EXHAUSTED."""
     leaf = jax.tree_util.tree_leaves(value)[0]
-    flat = leaf.reshape(-1)[:1]
-    float(jnp.sum(flat.astype(jnp.float32)))
+    scalar = leaf[(0,) * leaf.ndim]
+    float(jnp.asarray(scalar, jnp.float32))
 
 
 def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
@@ -51,6 +56,11 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
     for _ in range(max(0, warmup - 1)):
         out = fn(*args)
     _sync(out)
+    # Drop the warmup output BEFORE the timed runs: holding it pins one
+    # full output buffer (4 GB for 1024^3 f32) across every measurement
+    # dispatch below — at large N that was the difference between
+    # fitting and RESOURCE_EXHAUSTED (round-5 jfa@1024).
+    del out
 
     def run(k: int) -> float:
         t0 = time.perf_counter()
