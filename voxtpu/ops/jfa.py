@@ -26,6 +26,7 @@ unreached voxels keep +/-inf (caller init -inf, `apps/cli/main.cpp:200`).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -327,6 +328,22 @@ def _final_packed_jit(seed, occ, origin, vs, *, n: int):
     return sign * _seed_d2(seed, origin, vs, px, py, pz)
 
 
+# Fence the step chain when one program's working set exceeds this many
+# bytes: the TPU runtime allocates each ENQUEUED program's temp buffers
+# immediately, so a fast host queues all ~12 flood steps and their 4 GB
+# select-chain temps stack to ~48 GB even though every program peaks at
+# 8 GB (compile-level memory_analysis, scripts/probe_jfa1024_mem.py) —
+# the actual cause of the round-5 jfa@1024 RESOURCE_EXHAUSTED.
+# `block_until_ready` does not fence on the tunneled runtime (CLAUDE.md);
+# a scalar D2H does.
+_FENCE_BYTES = int(os.environ.get("JFA_FENCE_BYTES", str(2 * 1024 ** 3)))
+
+
+def _fence(a) -> None:
+    """Block until `a`'s producer has executed (scalar-sized D2H)."""
+    jax.device_get(a[(0,) * a.ndim])
+
+
 def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
     """JFA with per-step dispatch and donated flood state: one jit per
     flood step, so each step's buffers free before the next (a single
@@ -335,25 +352,31 @@ def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
     N <= 1024 uses the packed one-int32 seed (donation makes a step's
     peak ~2 grids + fused temps — the wide pair's undonated 4 x 4 GB
     at 1024^3 plus pred temps OOM'd a 16 GB chip, round-5 battery);
-    larger grids use the wide (hi, lo) encoding. Single-chip memory is
-    the only limit, as in the reference (`jfa/naive.cu:160`).
+    larger grids use the wide (hi, lo) encoding. Steps whose temps are
+    large enough to stack under enqueue-ahead are fenced host-side (see
+    `_FENCE_BYTES`). Single-chip memory is the only limit, as in the
+    reference (`jfa/naive.cu:160`).
     """
     if n > 16384:
         raise ValueError("wide seeds compare exact int32 voxel distances "
                          "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
+    fence = (_fence if n ** 3 * 4 >= _FENCE_BYTES
+             else (lambda a: None))
     if n <= 1024:
         seed = _init_packed_jit(occ, n=n)
         k = n // 2
         while k >= 1:
             seed = _step_packed_jit(seed, origin, vs, k=k, n=n)
+            fence(seed)
             k //= 2
         return _final_packed_jit(seed, occ, origin, vs, n=n)
     hi, lo = _init_wide_jit(occ, n=n)
     k = n // 2
     while k >= 1:
         hi, lo = _step_wide_jit(hi, lo, k=k, n=n)
+        fence(hi)
         k //= 2
     return _final_wide_jit(hi, lo, occ, origin, vs, n=n)
 
