@@ -171,6 +171,27 @@ def test_stepped_wide_matches_fused():
     np.testing.assert_array_equal(stepped, fused)
 
 
+def test_stepped_fenced_matches_fused(monkeypatch):
+    """With the enqueue-depth fence forced on (the n >= 1024 regime,
+    where queued steps' temps stack in HBM), the stepped flood must be
+    bit-identical and the fence must actually fire per step."""
+    import voxtpu.ops.jfa as J
+
+    fired = []
+    real_fence = J._fence
+    monkeypatch.setattr(J, "_FENCE_BYTES", 1)
+    monkeypatch.setattr(J, "_fence", lambda a: (fired.append(1),
+                                                real_fence(a)))
+    occ = _ball_occ(32)
+    spec = GridSpec(n=32, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 32)
+    fused = np.asarray(jfa(occ, spec, backend="xla"))
+    stepped = np.asarray(
+        J.jfa_xla_stepped(jnp_occ(occ), spec.origin, spec.voxel_size, n=32)
+    )
+    np.testing.assert_array_equal(stepped, fused)
+    assert len(fired) == 5  # one per flood step: k = 16, 8, 4, 2, 1
+
+
 def test_stepped_wide_loop_matches_fused():
     """The >1024 wide stepped loop (round 5 moved <=1024 to donated
     packed steps) must still equal the single-jit wide flood — driven
