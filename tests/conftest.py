@@ -29,6 +29,30 @@ import pytest
 ASSETS = pathlib.Path("/root/reference/assets")
 
 
+def pytest_collection_modifyitems(session, config, items):
+    """Start the 2-process distributed workers at collection time and
+    move their test to the end of the run: the ~4 min the worker pair
+    needs then overlaps the rest of the suite instead of serializing
+    with it (the test itself just joins and asserts)."""
+    dist = [it for it in items
+            if it.name == "test_two_process_mesh_jfa"]
+    if dist and len(items) > len(dist) and not config.option.collectonly:
+        from tests.test_distributed import launch_workers
+
+        config._voxtpu_dist_workers = launch_workers()
+        for it in dist:
+            items.remove(it)
+            items.append(it)
+
+
+def pytest_unconfigure(config):
+    # If the run aborted before the distributed test joined (e.g. -x
+    # stop), don't leave the worker pair orphaned.
+    for p in getattr(config, "_voxtpu_dist_workers", ()):
+        if p.poll() is None:
+            p.kill()
+
+
 @pytest.fixture(scope="session")
 def sphere_mesh():
     from voxtpu.mesh.obj_io import import_mesh

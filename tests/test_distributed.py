@@ -93,21 +93,38 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_mesh_jfa(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+def launch_workers():
+    """Spawn the 2-process worker pair (non-blocking).
+
+    Called from `conftest.pytest_collection_modifyitems` at collection
+    time so the ~4 min of subprocess wall-clock overlaps the rest of
+    the suite (the test itself is moved to the end of the run and just
+    joins + asserts); falls back to a same-test launch when the file
+    runs alone."""
+    import tempfile
+
+    worker = os.path.join(tempfile.mkdtemp(prefix="voxtpu_dist_"),
+                          "worker.py")
+    with open(worker, "w") as f:
+        f.write(_WORKER)
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, str(worker), str(port), str(pid)],
+            [sys.executable, worker, str(port), str(pid)],
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
         for pid in (0, 1)
     ]
+
+
+def test_two_process_mesh_jfa(request):
+    procs = getattr(request.config, "_voxtpu_dist_workers", None)
+    if procs is None:
+        procs = launch_workers()
     outs = []
     try:
         for p in procs:

@@ -192,6 +192,31 @@ def test_stepped_fenced_matches_fused(monkeypatch):
     assert len(fired) == 5  # one per flood step: k = 16, 8, 4, 2, 1
 
 
+def test_stepped_fence_depth_two(monkeypatch):
+    """Depth-2 fence window (JFA_FENCE_DEPTH=2): still bit-identical,
+    fences via non-donated tokens (the lagged state array itself is
+    deleted by the next step's donation), never holds more than depth
+    tokens, and drains before the final distance pass."""
+    import voxtpu.ops.jfa as J
+
+    monkeypatch.setattr(J, "_FENCE_BYTES", 1)
+    monkeypatch.setattr(J, "_FENCE_DEPTH", 2)
+    max_pending = []
+    real_push = J._FenceWindow.push
+    monkeypatch.setattr(
+        J._FenceWindow, "push",
+        lambda self, a: (real_push(self, a),
+                         max_pending.append(len(self.pending)))[0])
+    occ = _ball_occ(32)
+    spec = GridSpec(n=32, origin=(0.0, 0.0, 0.0), voxel_size=1.0 / 32)
+    fused = np.asarray(jfa(occ, spec, backend="xla"))
+    stepped = np.asarray(
+        J.jfa_xla_stepped(jnp_occ(occ), spec.origin, spec.voxel_size, n=32)
+    )
+    np.testing.assert_array_equal(stepped, fused)
+    assert max(max_pending) <= 2  # never more than depth steps in flight
+
+
 def test_stepped_wide_loop_matches_fused():
     """The >1024 wide stepped loop (round 5 moved <=1024 to donated
     packed steps) must still equal the single-jit wide flood — driven

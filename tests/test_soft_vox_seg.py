@@ -28,7 +28,12 @@ def seg_setup(request):
     from bench import subdivide
 
     mesh = request.getfixturevalue("torus_mesh")
-    coords, faces = subdivide(mesh.coords, mesh.faces, 2)
+    # One subdivision level (2,304 faces): the seg invariants (both
+    # panel families, multi-fragment table rows, 8-shard plans) hold
+    # from ~1K faces up, and interpret-mode cost tracks the batch
+    # count, which tracks fragments (round-5 suite-time item; was
+    # level 2 = 9,216 faces).
+    coords, faces = subdivide(mesh.coords, mesh.faces, 1)
     rng = np.random.default_rng(0)
     coords = (coords + rng.normal(0, 1e-3, coords.shape)).astype(np.float32)
     mesh = Mesh(name="torus_sub", coords=coords, faces=faces,

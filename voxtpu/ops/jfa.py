@@ -338,10 +338,50 @@ def _final_packed_jit(seed, occ, origin, vs, *, n: int):
 # a scalar D2H does.
 _FENCE_BYTES = int(os.environ.get("JFA_FENCE_BYTES", str(2 * 1024 ** 3)))
 
+# How many enqueued flood steps may have live temps at once. 1 (the
+# default) fences every step before enqueuing the next — the safe
+# minimum-memory schedule. Depth d > 1 lets d steps' temp buffers
+# coexist (~d x n^3 f32 extra HBM at 1024^3) and overlaps each fence's
+# tunnel round trip with the next step's execution.
+_FENCE_DEPTH = max(1, int(os.environ.get("JFA_FENCE_DEPTH", "1")))
+
 
 def _fence(a) -> None:
     """Block until `a`'s producer has executed (scalar-sized D2H)."""
     jax.device_get(a[(0,) * a.ndim])
+
+
+@jax.jit
+def _fence_token(a):
+    """Tiny non-donated scalar read of the flood state: a lagged fence
+    holds this token instead of the state array itself, which the NEXT
+    step's donation marks deleted (indexing it would raise)."""
+    return a.reshape(-1)[0]
+
+
+class _FenceWindow:
+    """Fence enqueued flood steps so at most `depth` steps' temps are
+    live at once (see `_FENCE_BYTES` / `_FENCE_DEPTH`)."""
+
+    def __init__(self, active: bool, depth: int):
+        self.active, self.depth = active, depth
+        self.pending: list = []
+
+    def push(self, state) -> None:
+        if not self.active:
+            return
+        if self.depth <= 1:
+            _fence(state)
+            return
+        self.pending.append(_fence_token(state))
+        if len(self.pending) >= self.depth:
+            jax.device_get(self.pending.pop(0))
+
+    def drain(self) -> None:
+        """Wait out every pending step — called before the final
+        distance pass, whose own temps must not stack on step temps."""
+        while self.pending:
+            jax.device_get(self.pending.pop(0))
 
 
 def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
@@ -362,22 +402,23 @@ def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
                          "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
-    fence = (_fence if n ** 3 * 4 >= _FENCE_BYTES
-             else (lambda a: None))
+    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, _FENCE_DEPTH)
     if n <= 1024:
         seed = _init_packed_jit(occ, n=n)
         k = n // 2
         while k >= 1:
             seed = _step_packed_jit(seed, origin, vs, k=k, n=n)
-            fence(seed)
+            win.push(seed)
             k //= 2
+        win.drain()
         return _final_packed_jit(seed, occ, origin, vs, n=n)
     hi, lo = _init_wide_jit(occ, n=n)
     k = n // 2
     while k >= 1:
         hi, lo = _step_wide_jit(hi, lo, k=k, n=n)
-        fence(hi)
+        win.push(hi)
         k //= 2
+    win.drain()
     return _final_wide_jit(hi, lo, occ, origin, vs, n=n)
 
 
