@@ -343,7 +343,15 @@ _FENCE_BYTES = int(os.environ.get("JFA_FENCE_BYTES", str(2 * 1024 ** 3)))
 # minimum-memory schedule. Depth d > 1 lets d steps' temp buffers
 # coexist (~d x n^3 f32 extra HBM at 1024^3) and overlaps each fence's
 # tunnel round trip with the next step's execution.
-_FENCE_DEPTH = max(1, int(os.environ.get("JFA_FENCE_DEPTH", "1")))
+_FENCE_DEPTH = 1
+
+
+def _fence_depth() -> int:
+    # Read JFA_FENCE_DEPTH at call time (bench.py's battery mode sets
+    # per-item env in-process); the module constant is the fallback so
+    # tests can monkeypatch it.
+    env = os.environ.get("JFA_FENCE_DEPTH")
+    return max(1, int(env)) if env else _FENCE_DEPTH
 
 
 def _fence(a) -> None:
@@ -402,7 +410,7 @@ def jfa_xla_stepped(occ, origin, voxel_size, *, n: int):
                          "(N <= 16384)")
     origin = jnp.asarray(origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
-    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, _FENCE_DEPTH)
+    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, _fence_depth())
     if n <= 1024:
         seed = _init_packed_jit(occ, n=n)
         k = n // 2
