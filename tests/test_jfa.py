@@ -180,6 +180,7 @@ def test_stepped_fenced_matches_fused(monkeypatch):
     fired = []
     real_fence = J._fence
     monkeypatch.setattr(J, "_FENCE_BYTES", 1)
+    monkeypatch.setattr(J, "_FENCE_DEPTH", 1)  # the per-step schedule
     monkeypatch.setattr(J, "_fence", lambda a: (fired.append(1),
                                                 real_fence(a)))
     occ = _ball_occ(32)

@@ -338,12 +338,14 @@ def _final_packed_jit(seed, occ, origin, vs, *, n: int):
 # a scalar D2H does.
 _FENCE_BYTES = int(os.environ.get("JFA_FENCE_BYTES", str(2 * 1024 ** 3)))
 
-# How many enqueued flood steps may have live temps at once. 1 (the
-# default) fences every step before enqueuing the next — the safe
-# minimum-memory schedule. Depth d > 1 lets d steps' temp buffers
-# coexist (~d x n^3 f32 extra HBM at 1024^3) and overlaps each fence's
-# tunnel round trip with the next step's execution.
-_FENCE_DEPTH = 1
+# How many enqueued flood steps may have live temps at once. Depth d
+# lets d steps' temp buffers coexist (~d x n^3 f32 extra HBM at
+# 1024^3) and overlaps each fence's round trip with the next step's
+# execution. Hardware A/B @1024^3 (battery r6): depth 1 = 2165 ms,
+# depth 2 = 1898 ms (-12.4%, no OOM — peak ~12G of 15.75G), depth 3 =
+# 1912 ms (no further overlap to win). JFA_FENCE_DEPTH=1 restores the
+# minimum-memory schedule.
+_FENCE_DEPTH = 2
 
 
 def _fence_depth() -> int:
