@@ -394,8 +394,14 @@ def _seg_fwd_rule(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                   mask_a, mask_b, mask_c, cfg):
     out = _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b,
                         tblidx_b, mask_a, mask_b, mask_c, cfg)
+    # Scalar scheduling token: the backward ties its cotangent to this
+    # (see _seg_bwd_rule) so XLA cannot hoist the 4 GB g_t transpose
+    # ahead of the forward combine — before the tie, the two 4.5 GB
+    # zero-init output aliases, occ, AND g_t coexisted (the 17.58G
+    # 1024^3 compile OOM, scripts/probe_seg1024_mem.py breakdown).
+    tok = out.reshape(-1)[0]
     return out, (tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
-                 mask_a, mask_b, mask_c)
+                 mask_a, mask_b, mask_c, tok)
 
 
 def _seg_bwd_rule(cfg, res, g):
@@ -403,7 +409,17 @@ def _seg_bwd_rule(cfg, res, g):
     from jax.experimental.pallas import tpu as pltpu
 
     (tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
-     mask_a, mask_b, mask_c) = res
+     mask_a, mask_b, mask_c, tok) = res
+    # Order the backward AFTER the forward's combine: `tok` is a scalar
+    # of the forward output, so this barrier makes every consumer of g
+    # (the g_t transpose below) depend on the combine having executed —
+    # by which point the forward's two (nt, nblk+1, tc, PANEL) outputs
+    # are dead. Without it the scheduler hoists g_t (for a sum-style
+    # loss g is a constant broadcast with no data dependencies) and the
+    # program needs 17.58G at 1024^3; with it the fwd combine's ~13.5G
+    # is the peak. A barrier on g_t alone does NOT do this — it pins
+    # one materialization but orders nothing (round-5 negative result).
+    g = jax.lax.optimization_barrier((g, tok))[0]
     n, tc, tb_sub, tbl, tz, num_batches, prm, xt = _seg_cfg_unpack(cfg)
     nt = (n * n) // tc
     nblk = n // PANEL
