@@ -369,25 +369,36 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
       init_a, init_b, init_c)
 
-    a_t = out_a[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
-    b_t = out_b[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
-    occ_t = a_t
-    # Family-B panels live in 64-shifted column space.
-    occ_t = occ_t + jnp.concatenate(
-        [jnp.zeros((nt, tc, LATTICE), jnp.float32), b_t[:, :, :n - LATTICE]],
-        axis=2)
+    # Combine in BLOCK space — (nt, nblk, tc, PANEL) end to end. The
+    # transposed-column formulation this replaces (a_t/b_t =
+    # transpose(0,2,1,3) of each 4 GB output, then a lane slice and a
+    # separately-materialized carry broadcast) put four ~4 GB copies
+    # live at once and was the residual 16.39G compile OOM at 1024^3
+    # (scripts/probe_seg1024_mem.py). Here the family-B 64-shift is a
+    # static half-panel regroup (block j's columns [0,64) come from B
+    # block j-1's upper half, [64,128) from B block j's lower half),
+    # the adds fuse into ONE elementwise pass producing occ_blk, and a
+    # single 6D transpose emits the dense grid.
+    av = out_a[:nt, :nblk]                               # (nt, 8, tc, 128)
+    bv = out_b[:nt, :nblk].reshape(nt, nblk, tc, 2, LATTICE)
+    b_lo = bv[:, :, :, 0, :]                             # cols 128j+64..+128
+    b_hi = jnp.concatenate(                              # cols 128j+128..+192
+        [jnp.zeros((nt, 1, tc, LATTICE), jnp.float32),
+         bv[:, :nblk - 1, :, 1, :]], axis=1)             # -> block j half 0
     # Carry: every column left of a panel gets the panel's weight sum.
     c = carry[:nt, :, 0, :]                              # (nt, n/64, tc)
     pre = jnp.flip(jnp.cumsum(jnp.flip(c, 1), axis=1), 1) - c  # sum cs > j
-    pre_t = pre.transpose(0, 2, 1)                       # (nt, tc, n/64)
-    occ_t = occ_t + jnp.broadcast_to(
-        pre_t[:, :, :, None], (nt, tc, n // LATTICE, LATTICE)
-    ).reshape(nt, tc, n)
+    pre_blk = pre.reshape(nt, nblk, 2, tc).transpose(0, 1, 3, 2)
+    occ_blk = (av + jnp.concatenate([b_hi, b_lo], axis=3)
+               + jnp.broadcast_to(pre_blk[:, :, :, :, None],
+                                  (nt, nblk, tc, 2, LATTICE))
+               .reshape(nt, nblk, tc, PANEL))
 
-    # Square-tile reassembly: tile t = (z//tz) * (n//ty) + (y//ty).
+    # Square-tile reassembly: tile t = (z//tz) * (n//ty) + (y//ty),
+    # row r = (z%tz) * ty + (y%ty), column x = blk * PANEL + lane.
     ty = tc // tz
-    occ = occ_t.reshape(n // tz, n // ty, tz, ty, n)
-    return occ.transpose(0, 2, 1, 3, 4).reshape(n, n, n)
+    occ = occ_blk.reshape(n // tz, n // ty, nblk, tz, ty, PANEL)
+    return occ.transpose(0, 3, 1, 4, 2, 5).reshape(n, n, n)
 
 
 def _seg_fwd_rule(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
