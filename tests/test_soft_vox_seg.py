@@ -130,6 +130,37 @@ def test_seg_gradients_match_fused(seg_setup):
     assert frac >= 0.999, f"only {frac:.2%} of gradient elements agree"
 
 
+def test_combine_kernel_matches_xla(monkeypatch):
+    """The pallas combine kernel (the 1024^3 hardware path — both XLA
+    combine formulations exceed the HBM budget there) must be
+    bit-identical to the XLA combine on random family outputs: same
+    per-element association, pure data-movement reassembly. Driven
+    directly (geometry-independent) with a large tc so the interpret
+    grid stays small; includes a pad tile and the 9th (trash) block,
+    both of which must be sliced away."""
+    from voxtpu.ops.soft_vox_seg import _seg_combine
+
+    rng = np.random.default_rng(3)
+    n, tc, tz = 256, 2048, 8
+    nt = (n * n) // tc
+    nblk = n // PANEL
+    xt = 1
+    out_a = jnp.asarray(
+        rng.standard_normal((nt + xt, nblk + 1, tc, PANEL)), jnp.float32)
+    out_b = jnp.asarray(
+        rng.standard_normal((nt + xt, nblk + 1, tc, PANEL)), jnp.float32)
+    carry = jnp.asarray(
+        rng.standard_normal((nt + xt, n // LATTICE, 1, tc)), jnp.float32)
+    monkeypatch.setenv("SEG_COMBINE", "xla")
+    via_xla = np.asarray(
+        _seg_combine(out_a, out_b, carry, n=n, tc=tc, tz=tz, nt=nt))
+    monkeypatch.setenv("SEG_COMBINE", "pallas")
+    via_kernel = np.asarray(
+        _seg_combine(out_a, out_b, carry, n=n, tc=tc, tz=tz, nt=nt))
+    assert via_xla.shape == (n, n, n)
+    np.testing.assert_array_equal(via_kernel, via_xla)
+
+
 def test_tau_x_guard(seg_setup):
     mesh, spec, sp, plan = seg_setup
     cj = jnp.asarray(mesh.coords)

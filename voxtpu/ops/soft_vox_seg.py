@@ -45,6 +45,7 @@ back to `soft_voxelize_fused` below that.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -309,6 +310,44 @@ def _seg_cfg_unpack(cfg):
     return n, tc, tb_sub, tbl, tz, num_batches, prm, extra_tiles
 
 
+def _seg_combine_kernel(tz: int, ty: int):
+    """Fold the two family outputs + the carry into the dense grid.
+
+    One grid step per (tile, x-block): reads out_a block j, out_b
+    blocks j-1 and j (two index maps on the same array — the bwd
+    kernel's splice pattern), and writes occ's (tz, ty, PANEL) block
+    directly, so NO grid-sized XLA temp exists between the accumulate
+    kernel and the dense grid. The XLA formulations both blow the
+    1024^3 HBM budget (scripts/probe_seg1024_mem.py): transposed-column
+    combine = four ~4 GB copies live (16.39G), block-space combine =
+    2x-padded 64-lane-minor temps (24.58G)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(a_ref, bprev_ref, bcur_ref, pre_ref, out_ref):
+        j = pl.program_id(1)
+        a = a_ref[0, 0]                                  # (tc, PANEL)
+        # Family-B panels sit at 128k + 64: occ block j's lanes
+        # [0, 64) come from B block j-1's upper half, [64, 128) from
+        # B block j's lower half (static lane slices; block 0's
+        # missing predecessor contributes zero).
+        hi = bprev_ref[0, 0, :, LATTICE:PANEL]
+        hi = jnp.where(j > 0, hi, jnp.zeros_like(hi))
+        lo = bcur_ref[0, 0, :, 0:LATTICE]
+        shifted = jnp.concatenate([hi, lo], axis=1)
+        # Carry: lanes [0, 64) get 64-group 2j's suffix sum, the rest
+        # group 2j+1's (pre arrives row-major: (tc, 2)).
+        tc = a.shape[0]
+        carry = jnp.concatenate(
+            [jnp.broadcast_to(pre_ref[0, 0, :, 0:1], (tc, LATTICE)),
+             jnp.broadcast_to(pre_ref[0, 0, :, 1:2], (tc, LATTICE))],
+            axis=1)
+        # Same per-element association as the XLA combine:
+        # (a + shifted_b) + carry.
+        out_ref[...] = (a + shifted + carry).reshape(out_ref.shape)
+
+    return kernel
+
+
 def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
                   mask_a, mask_b, mask_c, cfg):
     from jax.experimental import pallas as pl
@@ -369,36 +408,66 @@ def _seg_fwd_call(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
     )(batch_tile, batch_p0, flags, cells_b, tblidx_b, tables, pr,
       init_a, init_b, init_c)
 
-    # Combine in BLOCK space — (nt, nblk, tc, PANEL) end to end. The
-    # transposed-column formulation this replaces (a_t/b_t =
-    # transpose(0,2,1,3) of each 4 GB output, then a lane slice and a
-    # separately-materialized carry broadcast) put four ~4 GB copies
-    # live at once and was the residual 16.39G compile OOM at 1024^3
-    # (scripts/probe_seg1024_mem.py). Here the family-B 64-shift is a
-    # static half-panel regroup (block j's columns [0,64) come from B
-    # block j-1's upper half, [64,128) from B block j's lower half),
-    # the adds fuse into ONE elementwise pass producing occ_blk, and a
-    # single 6D transpose emits the dense grid.
-    av = out_a[:nt, :nblk]                               # (nt, 8, tc, 128)
-    bv = out_b[:nt, :nblk].reshape(nt, nblk, tc, 2, LATTICE)
-    b_lo = bv[:, :, :, 0, :]                             # cols 128j+64..+128
-    b_hi = jnp.concatenate(                              # cols 128j+128..+192
-        [jnp.zeros((nt, 1, tc, LATTICE), jnp.float32),
-         bv[:, :nblk - 1, :, 1, :]], axis=1)             # -> block j half 0
+    return _seg_combine(out_a, out_b, carry, n=n, tc=tc, tz=tz, nt=nt)
+
+
+def _seg_combine(out_a, out_b, carry, *, n: int, tc: int, tz: int, nt: int):
+    """Dense grid from the accumulate kernel's family outputs + carry.
+    Geometry-independent data movement + two adds per element; the
+    pallas and XLA paths are bit-identical (test_combine_kernel_
+    matches_xla drives this function directly)."""
+    from jax.experimental import pallas as pl
+
+    nblk = n // PANEL
     # Carry: every column left of a panel gets the panel's weight sum.
     c = carry[:nt, :, 0, :]                              # (nt, n/64, tc)
     pre = jnp.flip(jnp.cumsum(jnp.flip(c, 1), axis=1), 1) - c  # sum cs > j
-    pre_blk = pre.reshape(nt, nblk, 2, tc).transpose(0, 1, 3, 2)
-    occ_blk = (av + jnp.concatenate([b_hi, b_lo], axis=3)
-               + jnp.broadcast_to(pre_blk[:, :, :, :, None],
-                                  (nt, nblk, tc, 2, LATTICE))
-               .reshape(nt, nblk, tc, PANEL))
-
-    # Square-tile reassembly: tile t = (z//tz) * (n//ty) + (y//ty),
-    # row r = (z%tz) * ty + (y%ty), column x = blk * PANEL + lane.
     ty = tc // tz
-    occ = occ_blk.reshape(n // tz, n // ty, nblk, tz, ty, PANEL)
-    return occ.transpose(0, 3, 1, 4, 2, 5).reshape(n, n, n)
+    tyn = n // ty
+
+    on_tpu = jax.default_backend() == "tpu"
+    combine = os.environ.get("SEG_COMBINE", "pallas" if on_tpu else "xla")
+    if combine == "pallas":
+        # Hardware path: the combine kernel writes the dense grid
+        # directly (no grid-sized XLA temps — both XLA formulations
+        # exceed the 1024^3 HBM budget, see _seg_combine_kernel). Kept
+        # off the interpret path only for test wall-clock (nt * nblk
+        # Python-interpreted steps); equivalence is pinned by
+        # test_combine_kernel_matches_xla + the @256 hardware smoke.
+        pre_t2 = pre.reshape(nt, nblk, 2, tc).transpose(0, 1, 3, 2)
+        return pl.pallas_call(
+            _seg_combine_kernel(tz, ty),
+            grid=(nt, nblk),
+            in_specs=[
+                pl.BlockSpec((1, 1, tc, PANEL), lambda t, j: (t, j, 0, 0)),
+                pl.BlockSpec((1, 1, tc, PANEL),
+                             lambda t, j: (t, jnp.maximum(j - 1, 0), 0, 0)),
+                pl.BlockSpec((1, 1, tc, PANEL), lambda t, j: (t, j, 0, 0)),
+                pl.BlockSpec((1, 1, tc, 2), lambda t, j: (t, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tz, ty, PANEL),
+                                   lambda t, j: (t // tyn, t % tyn, j)),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.float32),
+            interpret=not on_tpu,
+        )(out_a, out_b, out_b, pre_t2)
+
+    # XLA combine (CPU/interpret path; small-N hardware A/B via
+    # SEG_COMBINE=xla): transposed-column reassembly.
+    a_t = out_a[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    b_t = out_b[:nt, :nblk].transpose(0, 2, 1, 3).reshape(nt, tc, n)
+    occ_t = a_t
+    # Family-B panels live in 64-shifted column space.
+    occ_t = occ_t + jnp.concatenate(
+        [jnp.zeros((nt, tc, LATTICE), jnp.float32), b_t[:, :, :n - LATTICE]],
+        axis=2)
+    pre_t = pre.transpose(0, 2, 1)                       # (nt, tc, n/64)
+    occ_t = occ_t + jnp.broadcast_to(
+        pre_t[:, :, :, None], (nt, tc, n // LATTICE, LATTICE)
+    ).reshape(nt, tc, n)
+
+    # Square-tile reassembly: tile t = (z//tz) * (n//ty) + (y//ty).
+    occ = occ_t.reshape(n // tz, n // ty, tz, ty, n)
+    return occ.transpose(0, 2, 1, 3, 4).reshape(n, n, n)
 
 
 def _seg_fwd_rule(tables, batch_tile, batch_p0, flags, cells_b, tblidx_b,
