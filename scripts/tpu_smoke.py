@@ -115,6 +115,29 @@ def main() -> int:
             jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32))
         np.testing.assert_allclose(got, sdf_ref, rtol=1e-5, atol=1e-7)
 
+    def jfa_yblocked():
+        # The round-5 y-blocked kernel (the 1024^3 VMEM fix) must be
+        # BIT-identical to the full-plane kernel on hardware — the
+        # dynamic row slice + banded candidate chain are exactly the
+        # Mosaic lowerings interpret mode does not check.
+        from voxtpu.ops.jfa_pallas import (_flood_step_pallas,
+                                           _flood_step_pallas_yblocked,
+                                           _init_jit, _jfa_pallas_stepped)
+
+        seed = _init_jit(jnp.asarray(ball), n=32)
+        org = jnp.asarray(list(spec32.origin) + [spec32.voxel_size],
+                          jnp.float32)
+        for k in (16, 5, 1):
+            full = np.asarray(_flood_step_pallas(seed, org, k, 32))
+            banded = np.asarray(
+                _flood_step_pallas_yblocked(seed, org, k, 32, 8))
+            np.testing.assert_array_equal(banded, full)
+            seed = jnp.asarray(full)
+        got = np.asarray(_jfa_pallas_stepped(
+            jnp.asarray(ball), spec32.origin, spec32.voxel_size, n=32,
+            yblock=8))
+        np.testing.assert_allclose(got, sdf_ref, rtol=1e-5, atol=1e-7)
+
     def jfa_pipe_ab():
         # The round-4 pipelined kernel must be BIT-identical to the
         # round-3 three-plane kernel on hardware (same float selection
@@ -195,6 +218,7 @@ def main() -> int:
     check("vox_banded_total@64", vox_banded)
     check("jfa_pallas_fused@32", jfa_fused)
     check("jfa_pallas_stepped@32", jfa_stepped)
+    check("jfa_yblocked_vs_full_plane@32", jfa_yblocked)
     check("jfa_pipe_vs_legacy@32", jfa_pipe_ab)
     check("soft_vox_pallas_fwd_bwd@32",
           lambda: _soft_engine_check("pallas"))

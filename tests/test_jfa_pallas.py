@@ -75,6 +75,50 @@ def test_pipelined_flood_non_divisor_strides():
     np.testing.assert_allclose(pipe, ref, rtol=1e-6, atol=0)
 
 
+def test_yblocked_step_bit_matches_full_plane():
+    """The round-5 y-blocked kernel (the 1024^3 VMEM fix: (1, H, n)
+    output bands over full-plane source blocks) must be BIT-identical
+    to the full-plane three-plane kernel at every stride — same float
+    selection formula, same candidate order, same strict-< tie-breaks."""
+    import jax.numpy as jnp
+
+    from voxtpu.ops.jfa_pallas import (_flood_step_pallas,
+                                       _flood_step_pallas_yblocked,
+                                       _init_jit)
+
+    rng = np.random.default_rng(19)
+    n = 32
+    occ = rng.random((n, n, n)) < 0.03
+    org = jnp.asarray([0.5, -2.0, 1.25, 0.0625], jnp.float32)
+    seed = _init_jit(jnp.asarray(occ), n=n)
+    for k in (16, 5, 1):  # power-of-two, odd (mis-aligned rolls), final
+        full = np.asarray(_flood_step_pallas(seed, org, k, n))
+        for H in (8, 16):
+            banded = np.asarray(
+                _flood_step_pallas_yblocked(seed, org, k, n, H))
+            np.testing.assert_array_equal(banded, full)
+        seed = jnp.asarray(full)  # flood forward for the next stride
+
+
+def test_yblocked_stepped_flood_matches_oracle():
+    """Full fence-windowed per-step y-blocked flood (the 1024^3
+    production path, shrunk) vs the sequential oracle and the
+    whole-flood single-jit path."""
+    from voxtpu.ops.jfa_pallas import _jfa_pallas, _jfa_pallas_stepped
+
+    rng = np.random.default_rng(23)
+    n = 32
+    occ = rng.random((n, n, n)) < 0.05
+    spec = GridSpec(n=n, origin=(0.25, -1.0, 3.0), voxel_size=1.0 / n)
+    got = np.asarray(_jfa_pallas_stepped(occ, spec.origin, spec.voxel_size,
+                                         n=n, yblock=8))
+    fused = np.asarray(_jfa_pallas(occ, spec.origin, spec.voxel_size,
+                                   n=n, pipe=False))
+    np.testing.assert_array_equal(got, fused)
+    ref = jfa_ref(occ, spec)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
+
+
 def test_pallas_jfa_delegates_beyond_1024(monkeypatch):
     """N > 1024 exceeds both the packed encoding and a single chip's
     HBM; the pallas backend must delegate to the stepped wide XLA flood

@@ -128,6 +128,120 @@ def _flood_step_pallas(seed, org, k: int, n: int):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 y-blocked flood step (the "y-half-blocked kernel" flagged
+# unbuilt in `jfa_pallas`'s 1024 routing note).
+#
+# At n = 1024 the full-plane `_step_kernel` holds ~26 live (n, n) f32
+# candidate intermediates -> 151.6 MB of scoped VMEM, past the v5e's
+# PHYSICAL 128 MB (no vmem_limit raise can admit it). This variant
+# keeps the three source planes as full (1, n, n) blocks (in-plane
+# rolls at stride k need up to the whole plane as halo) but computes
+# the output in (1, H, n) row bands: every candidate intermediate
+# after the dy roll is (H, n), shrinking the live set ~n/H-fold. The
+# dy shift is a full-plane `jnp.roll` followed by a dynamic row slice
+# (slice-of-roll == roll-of-slice; a clamped `dynamic_slice` WITHOUT
+# the roll would mis-map in-range rows whenever y0 + dy*k clips).
+# Selection formula, candidate order, and strict-< tie-breaks are
+# exactly `_step_kernel`'s, so outputs are bit-identical
+# (`tests/test_jfa_pallas.py::test_yblocked_step_bit_matches_full_plane`).
+#
+# Grid order (z, h): consecutive h steps revisit the same three input
+# blocks, which Mosaic's pipeline does not re-fetch, so HBM input
+# traffic stays ~3 reads per plane per step, as in `_step_kernel`.
+# ---------------------------------------------------------------------------
+
+
+def _step_kernel_yblocked(n: int, k: int, H: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(seed_m, seed_0, seed_p, org_ref, out_seed):
+        z = pl.program_id(0)
+        h = pl.program_id(1)
+        y0 = h * H
+        ox, oy, oz, vs = org_ref[0], org_ref[1], org_ref[2], org_ref[3]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, n), 0) + y0  # global y
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, n), 1)       # x
+        px = ox + cols.astype(jnp.float32) * vs
+        py = oy + rows.astype(jnp.float32) * vs
+        pz = oz + jnp.float32(z) * vs
+
+        def seed_d2(seed):
+            sx = (seed & _MASK10).astype(jnp.float32)
+            sy = ((seed >> 10) & _MASK10).astype(jnp.float32)
+            sz = ((seed >> 20) & _MASK10).astype(jnp.float32)
+            d2 = ((px - (ox + sx * vs)) ** 2
+                  + (py - (oy + sy * vs)) ** 2
+                  + (pz - (oz + sz * vs)) ** 2)
+            return jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
+
+        def band(plane, dy):
+            """Rows [y0 + dy*k, y0 + dy*k + H) of `plane`, wrap rows
+            carrying (masked-invalid) wrapped data exactly like the
+            full-plane kernel's roll."""
+            shifted = jnp.roll(plane, -dy * k, axis=0) if dy else plane
+            return jax.lax.dynamic_slice_in_dim(shifted, y0, H, axis=0)
+
+        best_seed = band(seed_0[0], 0)
+        best_d2 = seed_d2(best_seed)
+
+        planes = ((seed_m, -1), (seed_0, 0), (seed_p, 1))
+        for seed_ref, dz in planes:
+            zn = z + dz * k
+            plane_ok = jnp.logical_and(zn >= 0, zn < n)
+            plane = seed_ref[0]
+            for dy in (-1, 0, 1):
+                ry = band(plane, dy)
+                vy = (rows + dy * k >= 0) & (rows + dy * k < n) if dy else None
+                for dx in (-1, 0, 1):
+                    if dz == 0 and dy == 0 and dx == 0:
+                        continue
+                    nseed = jnp.roll(ry, -dx * k, axis=1) if dx else ry
+                    valid = plane_ok
+                    if vy is not None:
+                        valid = vy & valid
+                    if dx:
+                        valid = valid & (cols + dx * k >= 0) & (cols + dx * k < n)
+                    nseed = jnp.where(valid, nseed, jnp.int32(-1))
+                    d2 = seed_d2(nseed)
+                    better = d2 < best_d2
+                    best_d2 = jnp.where(better, d2, best_d2)
+                    best_seed = jnp.where(better, nseed, best_seed)
+        out_seed[0] = best_seed
+
+    return kernel
+
+
+def _flood_step_pallas_yblocked(seed, org, k: int, n: int, H: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n % H == 0 and H % 8 == 0, (n, H)
+
+    def zmap(dz):
+        return lambda z, h: (jnp.clip(z + dz * k, 0, n - 1), 0, 0)
+
+    plane = lambda dz: pl.BlockSpec((1, n, n), zmap(dz))
+    return pl.pallas_call(
+        _step_kernel_yblocked(n, k, H),
+        grid=(n, n // H),
+        in_specs=[plane(-1), plane(0), plane(1),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, H, n), lambda z, h: (z, h, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # 3 full source planes (double-buffered) + ~26 (H, n) live
+            # candidate intermediates; at n = 1024, H = 256 this is
+            # ~24 + ~40 MB — inside the v5e's 128 MB where the
+            # full-plane kernel's 151.6 MB is not.
+            vmem_limit_bytes=127 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(seed, seed, seed, org)
+
+
+# ---------------------------------------------------------------------------
 # Round-4 pipelined flood step.
 #
 # The 3-plane kernel above DMAs every plane 3x per step (as z-k, z, z+k
@@ -371,8 +485,11 @@ def _init_jit(occ, *, n: int):
     return jfa_init_seed(occ)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n", "pipe"))
-def _step_jit(seed, org, *, k: int, n: int, pipe: bool = True):
+@functools.partial(jax.jit, static_argnames=("k", "n", "pipe", "yblock"))
+def _step_jit(seed, org, *, k: int, n: int, pipe: bool = True,
+              yblock: int = 0):
+    if yblock:
+        return _flood_step_pallas_yblocked(seed, org, k, n, yblock)
     if pipe and n % k == 0:  # see _jfa_pallas: residue walk needs k | n
         return _flood_step_pipelined(seed, org, k, n)
     return _flood_step_pallas(seed, org, k, n)
@@ -389,42 +506,58 @@ def _final_jit(seed, occ, org, *, n: int):
 
 
 def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int,
-                        pipe: bool = True):
+                        pipe: bool = True, yblock: int = 0):
     """Per-step dispatch for large N: one jit per flood step, so buffers
     free between steps. The single whole-flood jit OOMs at 1024^3 — XLA's
     buffer assignment keeps every pallas step's 4 GB output live for the
     duration of the program instead of ping-ponging two buffers. (Buffer
     donation on the step was tried and reverted: donated inputs abort
     through the remote-execution tunnel.)
+
+    `yblock=H` routes every step through the (1, H, n) row-band kernel
+    (required at n = 1024, where the full-plane kernel's candidate live
+    set exceeds physical VMEM). Steps whose outputs are large enough to
+    stack under the runtime's enqueue-ahead are fenced host-side with
+    the same depth-windowed mechanism as the stepped XLA flood
+    (`voxtpu.ops.jfa._FenceWindow` — the round-5 jfa@1024 OOM lesson).
     """
+    from voxtpu.ops.jfa import _FENCE_BYTES, _FenceWindow, _fence_depth
+
     org = jnp.concatenate(
         [jnp.asarray(origin, jnp.float32),
          jnp.asarray(voxel_size, jnp.float32)[None]]
     ).astype(jnp.float32)
+    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, _fence_depth())
     seed = _init_jit(occ, n=n)
     k = n // 2
     while k >= 2:
-        seed = _step_jit(seed, org, k=k, n=n, pipe=pipe)
+        seed = _step_jit(seed, org, k=k, n=n, pipe=pipe, yblock=yblock)
+        win.push(seed)
         k //= 2
-    if pipe:
+    if pipe and not yblock:
+        win.drain()
         return _final_step_jit(seed, occ, org, n=n)
-    seed = _step_jit(seed, org, k=1, n=n, pipe=False)
+    seed = _step_jit(seed, org, k=1, n=n, pipe=False, yblock=yblock)
+    win.push(seed)
+    win.drain()
     return _final_jit(seed, occ, org, n=n)
 
 
 def jfa_pallas(occ, spec: GridSpec):
     """Signed squared distance field via VMEM-tiled Pallas flood steps.
 
-    N <= 512 runs as one fused jit. N >= 1024 delegates to the stepped
-    wide XLA flood (`voxtpu.ops.jfa.jfa_xla_stepped`): at 1024 the
-    flood kernel's ~26 live candidate planes demand 151.6M of scoped
-    VMEM — past the v5e's physical 128M (round-5 battery; the
-    JFA_PALLAS_1024=1 knob keeps the per-step pallas dispatch for
-    larger-VMEM chips) — and above 1024 the packed 10-bit seed layout
-    no longer fits an int32 AND the wide (hi, lo) pair's 6 source-plane
-    blocks (3 z-planes x 2 arrays, 16.8 MB each at 2048) exceed VMEM
-    regardless. Memory, not encoding, is then the only limit, and
-    multi-chip grids belong to the Z-sharded path
+    N <= 512 runs as one fused jit. N = 1024 runs per-step y-blocked
+    kernels (`_step_kernel_yblocked`, fence-windowed dispatch): the
+    full-plane kernel's ~26 live candidate planes demand 151.6M of
+    scoped VMEM there — past the v5e's physical 128M — so the kernel
+    computes (1, H, n) row bands instead (JFA_YBLOCK sets H,
+    JFA_PALLAS_1024=0 restores the stepped-XLA delegation). Above 1024
+    the packed 10-bit seed layout no longer fits an int32 AND the wide
+    (hi, lo) pair's 6 source-plane blocks (3 z-planes x 2 arrays,
+    16.8 MB each at 2048) exceed VMEM regardless of banding — those
+    sizes delegate to the stepped wide XLA flood
+    (`voxtpu.ops.jfa.jfa_xla_stepped`). Memory, not encoding, is then
+    the only limit, and multi-chip grids belong to the Z-sharded path
     (`voxtpu.parallel.sharded_jfa`).
     """
     import os
@@ -441,20 +574,25 @@ def jfa_pallas(occ, spec: GridSpec):
     # (BENCH_NOTES round 4); the three-plane kernel is the default.
     pipe = os.environ.get("JFA_PIPE", "0") == "1"
     if spec.n > 1024 or (
-            spec.n > 512 and os.environ.get("JFA_PALLAS_1024", "0") != "1"):
-        # 1024^3 routes here too (round 5): the flood kernel's ~26 live
-        # candidate planes demand 151.6M of scoped VMEM at 1024 — past
-        # the v5e's PHYSICAL 128M, so no vmem_limit raise can admit it
-        # (the round-4 127M raise predated a hardware compile; both
-        # round-4 and round-5 batteries failed there). A y-half-blocked
-        # kernel would fit but is unbuilt; JFA_PALLAS_1024=1 keeps the
-        # per-step dispatch for chips with more VMEM.
+            spec.n > 512 and os.environ.get("JFA_PALLAS_1024", "1") == "0"):
+        # Above 1024 the packed 10-bit seed no longer fits an int32 and
+        # the three (1, n, n) source-plane blocks exceed VMEM regardless
+        # of banding — delegate to the stepped wide XLA flood.
+        # JFA_PALLAS_1024=0 restores that delegation at 1024 too (the
+        # round-5 default before the y-blocked kernel landed).
         from voxtpu.ops.jfa import jfa_xla_stepped
 
         return jfa_xla_stepped(occ, spec.origin, spec.voxel_size, n=spec.n)
     if spec.n > 512:
-        # Above 512 the whole-flood jit's per-step output buffers (XLA
-        # keeps each pallas step's result live) approach chip HBM.
+        # 1024^3: the full-plane kernel's ~26 live candidate planes
+        # demand 151.6M of scoped VMEM — past the v5e's PHYSICAL 128M,
+        # so no vmem_limit raise can admit it (round-4/5 batteries both
+        # failed the compile). The y-blocked kernel computes (1, H, n)
+        # row bands over full-plane source blocks, shrinking the live
+        # set n/H-fold; per-step dispatch keeps step buffers from
+        # accumulating in one program's assignment, and the fence
+        # window keeps enqueue-ahead temps from stacking.
+        yblock = int(os.environ.get("JFA_YBLOCK", "256"))
         return _jfa_pallas_stepped(occ, spec.origin, spec.voxel_size,
-                                   n=spec.n, pipe=pipe)
+                                   n=spec.n, pipe=pipe, yblock=yblock)
     return _jfa_pallas(occ, spec.origin, spec.voxel_size, n=spec.n, pipe=pipe)
