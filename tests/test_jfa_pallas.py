@@ -119,6 +119,35 @@ def test_yblocked_stepped_flood_matches_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=0)
 
 
+def test_pallas_jfa_routes_1024_to_yblocked_stepped(monkeypatch):
+    """1024^3 must route to the fence-windowed y-blocked per-step
+    dispatch (round 5 — previously delegated to the stepped XLA flood
+    because the full-plane kernel exceeded physical VMEM), honoring
+    JFA_YBLOCK and the JFA_PALLAS_1024=0 opt-out."""
+    import voxtpu.ops.jfa_pallas as mod
+
+    calls = {}
+
+    def fake_stepped(occ, origin, voxel_size, *, n, pipe, yblock):
+        calls["n"], calls["yblock"] = n, yblock
+        return "stepped"
+
+    monkeypatch.setattr(mod, "_jfa_pallas_stepped", fake_stepped)
+    spec = GridSpec(n=1024, origin=(0, 0, 0), voxel_size=1.0)
+    assert mod.jfa_pallas(np.zeros((8, 8, 8), bool), spec) == "stepped"
+    assert calls == {"n": 1024, "yblock": 256}
+    monkeypatch.setenv("JFA_YBLOCK", "128")
+    mod.jfa_pallas(np.zeros((8, 8, 8), bool), spec)
+    assert calls["yblock"] == 128
+
+    import voxtpu.ops.jfa as jfa_mod
+
+    monkeypatch.setenv("JFA_PALLAS_1024", "0")
+    monkeypatch.setattr(jfa_mod, "jfa_xla_stepped",
+                        lambda occ, origin, voxel_size, *, n: "xla")
+    assert mod.jfa_pallas(np.zeros((8, 8, 8), bool), spec) == "xla"
+
+
 def test_pallas_jfa_delegates_beyond_1024(monkeypatch):
     """N > 1024 exceeds both the packed encoding and a single chip's
     HBM; the pallas backend must delegate to the stepped wide XLA flood

@@ -134,27 +134,41 @@ def _flood_step_pallas(seed, org, k: int, n: int):
 # At n = 1024 the full-plane `_step_kernel` holds ~26 live (n, n) f32
 # candidate intermediates -> 151.6 MB of scoped VMEM, past the v5e's
 # PHYSICAL 128 MB (no vmem_limit raise can admit it). This variant
-# keeps the three source planes as full (1, n, n) blocks (in-plane
-# rolls at stride k need up to the whole plane as halo) but computes
-# the output in (1, H, n) row bands: every candidate intermediate
-# after the dy roll is (H, n), shrinking the live set ~n/H-fold. The
-# dy shift is a full-plane `jnp.roll` followed by a dynamic row slice
-# (slice-of-roll == roll-of-slice; a clamped `dynamic_slice` WITHOUT
-# the roll would mis-map in-range rows whenever y0 + dy*k clips).
+# computes the output in (1, H, n) row bands, shrinking the candidate
+# live set n/H-fold, and resolves the dy*k row shift ENTIRELY in block
+# index maps + static slices (Mosaic's TC lowering has no
+# dynamic_slice-of-value, and sublane shifts as dynamic ops cost VPU
+# the legacy kernel does not pay):
+#
+# - Nine (1, H, n) input blocks, one per (dz, dy): block (z + dz*k,
+#   h + dy*(k//H)) when H | k (the dy-shifted band is block-aligned),
+#   or blocks (z + dz*k, h + {-1, 0, 1}) when k < H, concatenated and
+#   statically sliced at rows [H + dy*k, 2H + dy*k) (dy*k is a trace
+#   constant). Edge clamping is safe: a clamped band's rows are
+#   exactly the rows the validity mask kills (for H | k, h + dy*q
+#   clips iff every row's y + dy*k is out of grid; for k < H the
+#   clamped neighbor's mis-mapped rows are precisely the |dy*k| rows
+#   with y + dy*k outside [0, n)).
+# - dx shifts stay circular lane rolls of (H, n) bands, as in
+#   `_step_kernel`.
+#
 # Selection formula, candidate order, and strict-< tie-breaks are
 # exactly `_step_kernel`'s, so outputs are bit-identical
-# (`tests/test_jfa_pallas.py::test_yblocked_step_bit_matches_full_plane`).
+# (`tests/test_jfa_pallas.py::test_yblocked_step_bit_matches_full_plane`
+# + the `jfa_yblocked_vs_full_plane@32` hardware smoke gate).
 #
-# Grid order (z, h): consecutive h steps revisit the same three input
-# blocks, which Mosaic's pipeline does not re-fetch, so HBM input
-# traffic stays ~3 reads per plane per step, as in `_step_kernel`.
+# HBM traffic per step is 9 band-reads + 1 write per element (vs the
+# full-plane kernel's 3 + 1), but the flood is VPU-bound (round-4
+# micro-probe) with ~2.4x headroom to the roofline at this ratio.
 # ---------------------------------------------------------------------------
 
 
 def _step_kernel_yblocked(n: int, k: int, H: int):
     from jax.experimental import pallas as pl
 
-    def kernel(seed_m, seed_0, seed_p, org_ref, out_seed):
+    def kernel(*refs):
+        bands = refs[:9]       # (dz, dy) row-major: dz -1,0,1 x dy -1,0,1
+        org_ref, out_seed = refs[9], refs[10]
         z = pl.program_id(0)
         h = pl.program_id(1)
         y0 = h * H
@@ -175,23 +189,23 @@ def _step_kernel_yblocked(n: int, k: int, H: int):
                   + (pz - (oz + sz * vs)) ** 2)
             return jnp.where(seed < 0, jnp.float32(jnp.inf), d2)
 
-        def band(plane, dy):
-            """Rows [y0 + dy*k, y0 + dy*k + H) of `plane`, wrap rows
-            carrying (masked-invalid) wrapped data exactly like the
-            full-plane kernel's roll."""
-            shifted = jnp.roll(plane, -dy * k, axis=0) if dy else plane
-            return jax.lax.dynamic_slice_in_dim(shifted, y0, H, axis=0)
+        def band(dzi, dy):
+            """Rows [y0 + dy*k, y0 + dy*k + H) of source plane dzi."""
+            if dy == 0 or k % H == 0:
+                return bands[dzi * 3 + (dy + 1)][0]
+            tri = jnp.concatenate(
+                [bands[dzi * 3 + j][0] for j in (0, 1, 2)], axis=0)
+            return jax.lax.slice_in_dim(tri, H + dy * k, 2 * H + dy * k,
+                                        axis=0)
 
-        best_seed = band(seed_0[0], 0)
+        best_seed = band(1, 0)
         best_d2 = seed_d2(best_seed)
 
-        planes = ((seed_m, -1), (seed_0, 0), (seed_p, 1))
-        for seed_ref, dz in planes:
+        for dzi, dz in enumerate((-1, 0, 1)):
             zn = z + dz * k
             plane_ok = jnp.logical_and(zn >= 0, zn < n)
-            plane = seed_ref[0]
             for dy in (-1, 0, 1):
-                ry = band(plane, dy)
+                ry = band(dzi, dy)
                 vy = (rows + dy * k >= 0) & (rows + dy * k < n) if dy else None
                 for dx in (-1, 0, 1):
                     if dz == 0 and dy == 0 and dx == 0:
@@ -217,28 +231,40 @@ def _flood_step_pallas_yblocked(seed, org, k: int, n: int, H: int):
     from jax.experimental.pallas import tpu as pltpu
 
     assert n % H == 0 and H % 8 == 0, (n, H)
+    if k > H and k % H:
+        # The block-aligned dy shift needs H | k and the concat shift
+        # needs k < H; the halving sequence violates both only at
+        # non-power-of-two n (e.g. n = 544 -> k = 272 with H = 256),
+        # where the candidate live set is small enough for the
+        # full-plane kernel anyway.
+        return _flood_step_pallas(seed, org, k, n)
+    nb = n // H
+    q = k // H  # 0 when k < H: neighbor blocks, sliced statically
 
-    def zmap(dz):
-        return lambda z, h: (jnp.clip(z + dz * k, 0, n - 1), 0, 0)
+    def bmap(dz, dy):
+        hoff = dy * q if q else dy
+        return lambda z, h: (jnp.clip(z + dz * k, 0, n - 1),
+                             jnp.clip(h + hoff, 0, nb - 1), 0)
 
-    plane = lambda dz: pl.BlockSpec((1, n, n), zmap(dz))
+    in_specs = [pl.BlockSpec((1, H, n), bmap(dz, dy))
+                for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     return pl.pallas_call(
         _step_kernel_yblocked(n, k, H),
-        grid=(n, n // H),
-        in_specs=[plane(-1), plane(0), plane(1),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        grid=(n, nb),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, n), lambda z, h: (z, h, 0)),
         out_shape=jax.ShapeDtypeStruct((n, n, n), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            # 3 full source planes (double-buffered) + ~26 (H, n) live
+            # 9 (H, n) source bands (double-buffered) + ~26 (H, n) live
             # candidate intermediates; at n = 1024, H = 256 this is
-            # ~24 + ~40 MB — inside the v5e's 128 MB where the
+            # ~18 + ~40 MB — inside the v5e's 128 MB where the
             # full-plane kernel's 151.6 MB is not.
             vmem_limit_bytes=127 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(seed, seed, seed, org)
+    )(*([seed] * 9), org)
 
 
 # ---------------------------------------------------------------------------
