@@ -13,7 +13,10 @@ Usage (one process, pays backend init once):
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JFA_FENCE_DEPTH", "1")
 

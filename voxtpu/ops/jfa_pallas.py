@@ -547,13 +547,23 @@ def _jfa_pallas_stepped(occ, origin, voxel_size, *, n: int,
     the same depth-windowed mechanism as the stepped XLA flood
     (`voxtpu.ops.jfa._FenceWindow` — the round-5 jfa@1024 OOM lesson).
     """
-    from voxtpu.ops.jfa import _FENCE_BYTES, _FenceWindow, _fence_depth
+    import os
+
+    from voxtpu.ops.jfa import _FENCE_BYTES, _FenceWindow
 
     org = jnp.concatenate(
         [jnp.asarray(origin, jnp.float32),
          jnp.asarray(voxel_size, jnp.float32)[None]]
     ).astype(jnp.float32)
-    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, _fence_depth())
+    # Depth 1 by default here, NOT the stepped-XLA flood's depth 2: a
+    # pallas step is not donated (see above), so every in-flight step
+    # pins its input AND output — depth d holds d+1 seed grids (~4.3 GB
+    # each at 1024^3) where the donated XLA steps hold ~d. Depth 2 with
+    # everything else live measured RESOURCE_EXHAUSTED on the 15.75 GB
+    # v5e (battery r7). JFA_FENCE_DEPTH still overrides for A/Bs.
+    env_depth = os.environ.get("JFA_FENCE_DEPTH")
+    depth = max(1, int(env_depth)) if env_depth else 1
+    win = _FenceWindow(n ** 3 * 4 >= _FENCE_BYTES, depth)
     seed = _init_jit(occ, n=n)
     k = n // 2
     while k >= 2:

@@ -67,6 +67,13 @@ def time_device_fn(fn, *args, iters: int = 10, warmup: int = 1,
         a = args
         o = None
         for _ in range(k):
+            if chain is None:
+                # Drop the previous dispatch's output BEFORE enqueuing
+                # the next: `o = fn(*a)` rebinds only after fn returns,
+                # so the old buffer (4 GB at 1024^3 f32) would overlap
+                # the next run's whole working set (round-5 jfa@1024
+                # pallas OOM; same mechanism as the warmup hold above).
+                o = None
             o = fn(*a)
             if chain is not None:
                 a = chain(o, a)
