@@ -21,8 +21,10 @@ driven by measurement (BENCH_NOTES.md):
   reference computes them (origin + idx * voxel_size, float32), so
   distances match the oracle to float rounding.
 
-Seeds are 10-bit packed (supports N <= 1024); VMEM per grid step is
-4 planes of N^2 i32 -> N <= 1024 on a 16MB core (N <= 512 verified).
+Seeds are 10-bit packed (supports N <= 1024). The full-plane kernel's
+per-step live set (~26 candidate planes) fits scoped VMEM to N = 512;
+N = 1024 uses the y-blocked kernel below (row-band outputs, same
+selection bit-for-bit).
 """
 
 from __future__ import annotations
